@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nrsr_crawler_spark.functions.hashing import xxh64_str
+from nrsr_crawler_spark.functions import urls as U
+
+URLS = [
+    "https://www.nrsr.sk/web/Default.aspx?sid=schodze/hlasovanie/hlasklub&ID=42",
+    "HTTPS://WWW.NRSR.SK/web/Default.aspx?sid=poslanci&PoslanecID=17&CisObdobia=7",
+    "https://www.nrsr.sk/web/",
+    "https://www.nrsr.sk",
+    "http://www.nrsr.sk:80/web/Default.aspx?b=2&a=1#frag",
+    "https://www.nrsr.sk:8443/x?z=1&y=2&x=3",
+]
+
+
+def test_xxh64_matches_spark(spark):
+    strings = ["", "a", "abc", "x" * 7, "x" * 8, "x" * 31, "x" * 32, "x" * 100,
+               "https://www.nrsr.sk/web/Default.aspx?sid=zakony&ID=123", "žltý kôň"]
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in strings:
+        assert got[s] == xxh64_str(s), s
+
+
+def test_canonicalize_parity(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], ["url"])
+    got = [r[0] for r in df.select(U.canonicalize(F.col("url"))).collect()]
+    exp = [U.canonicalize_py(u) for u in URLS]
+    assert got == exp
+
+
+def test_canonicalize_semantics():
+    assert U.canonicalize_py("HTTPS://WWW.NRSR.SK/x?b=2&a=1#f") == "https://www.nrsr.sk/x?a=1&b=2"
+    assert U.canonicalize_py("https://www.nrsr.sk") == "https://www.nrsr.sk/"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    host=st.from_regex(r"[a-z][a-z0-9]{0,10}(\.[a-z]{2,5}){1,2}", fullmatch=True),
+    path=st.from_regex(r"(/[A-Za-z0-9_.]{0,8}){0,3}", fullmatch=True),
+    params=st.lists(st.tuples(st.from_regex(r"[A-Za-z]{1,6}", fullmatch=True),
+                              st.from_regex(r"[A-Za-z0-9]{0,6}", fullmatch=True)), max_size=4),
+)
+def test_canon_idempotent(host, path, params):
+    q = "&".join(f"{k}={v}" for k, v in params)
+    u = f"https://{host}{path}" + (f"?{q}" if q else "")
+    c = U.canonicalize_py(u)
+    assert U.canonicalize_py(c) == c
+
+
+def test_query_param_extraction(spark):
+    df = spark.createDataFrame(
+        [("https://www.nrsr.sk/web/Default.aspx?sid=poslanci&PoslanecID=17&CisObdobia=7",)],
+        ["url"],
+    )
+    row = df.select(
+        U.url_query_param_long(F.col("url"), "PoslanecID").alias("pid"),
+        U.url_query_param_long(F.col("url"), "CisObdobia").alias("per"),
+        U.url_host(F.col("url")).alias("host"),
+    ).collect()[0]
+    assert (row.pid, row.per, row.host) == (17, 7, "www.nrsr.sk")
+
+
+def test_host_shard_spreads_single_host(spark):
+    df = spark.range(0, 2000).select(
+        F.lit("www.nrsr.sk").alias("host"),
+        F.xxhash64(F.col("id").cast("string")).alias("h"),
+    )
+    n = df.select(U.host_shard(F.col("host"), F.col("h"), 64, 16).alias("s")) \
+          .select(F.countDistinct("s")).collect()[0][0]
+    assert n >= 12  # 16 salts → up to 16 distinct shards for one host
