@@ -1,0 +1,62 @@
+"""Frontier maintenance ops: candidate preparation + URL-seen dedup
+(SURVEY §2.3 J4 — the Spark-native dupefilter replacing
+``SplashAwareDupeFilter`` at /root/reference/nrsr/settings.py:114).
+
+Pipeline per epoch:  candidates → canonicalize → fingerprint → drop
+invalid → in-batch exact dedup (first scheduler wins, i.e. lowest seq) →
+anti-join against the cross-epoch seen set (optionally bloom-pruned,
+operators/seen.py) → enqueue.
+
+All pure column expressions + one aggregation on ``url_hash`` (well
+distributed, no skew) + one anti-join whose probe side has been shrunk by
+the bloom prefilter — the shape that scales to 10^10 URLs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nrsr_crawler_spark.functions import urls as U
+
+
+def prepare_candidates(raw: DataFrame, url_col: str = "url", seq_col: str = "seq") -> DataFrame:
+    """Canonicalize + fingerprint candidate URLs and dedupe within the batch.
+
+    Invalid URLs (canon NULL — e.g. garbage hrefs) are dropped: xxhash64(NULL)
+    degenerates to the seed constant, so they must never reach dedup.
+    First-writer-wins within the batch: the row with the lowest ``seq`` keeps
+    the URL (matches the sequential dupefilter admitting the first request).
+    Carries through all other columns of ``raw`` (lineage/meta, SURVEY §2.3 J5).
+    """
+    meta_cols = [c for c in raw.columns if c not in (url_col,)]
+    prepared = (
+        raw.withColumn("canon_url", U.canonicalize(F.col(url_col)))
+        .filter(F.col("canon_url").isNotNull())
+        .withColumn("url_hash", U.url_hash(F.col("canon_url")))
+        .withColumn("host", U.url_host(F.col("canon_url")))
+    )
+    # exact in-batch dedup: min-seq row per fingerprint, via struct-min
+    # (single shuffle on url_hash; no window needed)
+    payload = F.struct(F.col(seq_col).alias("__seq"), *[F.col(c) for c in meta_cols if c != seq_col], F.col("canon_url"), F.col("host"))
+    winners = (
+        prepared.groupBy("url_hash")
+        .agg(F.min(payload).alias("w"))
+        .select(
+            "url_hash",
+            F.col("w.__seq").alias(seq_col),
+            *[F.col(f"w.{c}").alias(c) for c in meta_cols if c != seq_col],
+            F.col("w.canon_url").alias("canon_url"),
+            F.col("w.host").alias("host"),
+        )
+    )
+    return winners
+
+
+def dedup_against_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """Cross-epoch J4: drop candidates whose fingerprint is already seen.
+
+    ``seen`` needs a ``url_hash`` column.  At scale, call
+    ``seen_filter.bloom_prune`` first so this anti-join only sees
+    maybe-positive rows (operators/seen.py)."""
+    return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")

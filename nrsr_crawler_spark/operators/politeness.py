@@ -1,0 +1,63 @@
+"""Per-host politeness budget pop (SURVEY §2.6 O3, north_star).
+
+The reference serializes fetches per IP (`DOWNLOAD_DELAY = 2.5`,
+`CONCURRENT_REQUESTS_PER_IP = 1` — /root/reference/nrsr/settings.py:30-33) and
+pops its queue priority-then-LIFO.  The engine's equivalent: each epoch pops
+at most ``budget`` URLs per host, in ``(priority DESC, seq DESC)`` order
+(LIFO ⇒ depth-first, matching Scrapy 1.5's in-memory LIFO queue).
+
+Skew is the whole problem at 10^10 URLs: the reference crawls ONE host, so a
+naive ``Window.partitionBy(host)`` puts the entire frontier in a single task.
+``pop_budget`` is therefore two-level (both levels exact):
+
+  1. rank within (host, salt) where salt = url_hash % S — S× parallel; any
+     row in a host's global top-``budget`` is necessarily within the
+     top-``budget`` of its salt bucket, so keeping rank ≤ budget per bucket
+     loses nothing;
+  2. re-rank the ≤ S·budget survivors per host and keep ``budget``.
+
+Level-2 input is tiny (S·budget rows/host), so the skewed key no longer
+matters.  Result is byte-identical to the naive single window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pop_order() -> list[Column]:
+    """Scrapy-1.5 pop order: priority DESC then LIFO (seq DESC)."""
+    return [F.col("priority").desc(), F.col("seq").desc()]
+
+
+def pop_budget(
+    frontier: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    salt_col: str = "url_hash",
+    num_salts: int = 16,
+    rank_col: str = "rk",
+    tiebreak: list[Column] | None = None,
+) -> DataFrame:
+    """Exact top-``budget`` rows per host by :func:`pop_order`, skew-proof.
+
+    ``frontier`` needs columns: host, priority, seq, and ``salt_col`` (any
+    well-distributed long, normally the url fingerprint).  ``tiebreak``
+    columns are appended to the pop order — the order MUST be total per host
+    or the two-level decomposition (and any distributed rank) is
+    nondeterministic; pass e.g. ``[F.col("canon_url")]`` when ``seq`` alone
+    may tie.
+    """
+    order = pop_order() + list(tiebreak or [])
+    salted = frontier.withColumn("__salt", F.pmod(F.col(salt_col), F.lit(num_salts)))
+    w1 = Window.partitionBy(host_col, "__salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= budget)
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    return survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= budget
+    )
