@@ -1,0 +1,126 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "urls_scheduled_per_sec": ..., "frontier_urls": ...}
+
+The north metric (BASELINE.json): URLs scheduled+deduped/sec — measured on
+the flagship frontier pass (canonicalize → fingerprint → exact dedup → seen
+anti-join → politeness pop) over a frontier synthesized from lineitem.
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nrsr_crawler_spark.session import get_spark  # noqa: E402
+
+
+HEADLINE = [
+    "flagship_frontier_schedule",
+    "q1_pricing_summary",
+    "j3_missing_presses",
+    "o3_frontier_pop",
+    "a1_clubs_sessionize",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "text_quality",
+]
+
+
+def frontier_throughput(spark, sf_dir: str, repeat: int = 3) -> tuple[float, int]:
+    """North metric: URLs scheduled+deduped per second (median of repeats)."""
+    from nrsr_crawler_spark.operators import frontier, politeness, seen as seen_ops
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # 4 URL candidates per lineitem row → dup-heavy frontier
+    raw = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit("HTTPS://WWW.NRSR.SK/web/Default.aspx?sid=zakony&ID="),
+                        (F.col("l_orderkey") * 4 + i) % 1000000,
+                        F.lit("&CisObdobia="),
+                        F.col("l_suppkey") % 8,
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("url"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("seq"),
+        F.lit(0).alias("priority"),
+    )
+    n_candidates = raw.count()
+    seen = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.xxhash64(
+            F.concat(
+                F.lit("https://www.nrsr.sk/web/Default.aspx?CisObdobia="),
+                F.col("o_custkey") % 8,
+                F.lit("&ID="),
+                F.col("o_orderkey") % 1000000,
+                F.lit("&sid=zakony"),
+            )
+        ).alias("url_hash")
+    )
+    segments = seen_ops.build_segments(seen, n_segments=32).persist()
+    segments.count()
+    times = []
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        cand = frontier.prepare_candidates(raw)
+        fresh = seen_ops.dedup_with_bloom(cand, seen, segments, n_segments=32)
+        popped = politeness.pop_budget(fresh, budget=100000, tiebreak=[F.col("canon_url")])
+        popped.select(F.count(F.lit(1))).collect()
+        times.append(time.perf_counter() - t0)
+    segments.unpersist()
+    med = sorted(times)[len(times) // 2]
+    return n_candidates / med, n_candidates
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, sf_dir).select(F.count(F.lit(1))).collect()  # warm (JIT, file listing)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).select(F.count(F.lit(1))).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ups, n_urls = frontier_throughput(spark, sf_dir)
+
+    out = {
+        "metric": "headline suite wall time (sf dir); north: urls_scheduled_per_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "urls_scheduled_per_sec": round(ups),
+        "frontier_urls": n_urls,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -407,3 +407,6 @@ from nrsr_crawler_spark.plans.flagship import FLAGSHIP_ORACLE, frontier_schedule
 
 QUERIES["flagship_frontier_schedule"] = frontier_schedule_dedup
 ORACLES["flagship_frontier_schedule"] = FLAGSHIP_ORACLE
+
+# training-data pipeline battery (dedup / ANN / text / multimodal)
+import nrsr_crawler_spark.entry_queries_ml  # noqa: E402,F401

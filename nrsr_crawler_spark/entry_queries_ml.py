@@ -1,0 +1,299 @@
+"""Training-data-pipeline query battery (dedup / similarity / text) with
+DuckDB oracles, registered into entry_queries.QUERIES/ORACLES.
+
+Oracle-portability choices (why these constructions):
+ - minhash = lexicographic min of md5(j || ':' || shingle) — identical in any
+   engine, no engine-specific hash;
+ - thresholds compared with cross-multiplied INTEGER arithmetic;
+ - cosine = explicit dot/norm formula on DOUBLE[] (not the built-in
+   list_cosine_similarity) so both engines run the same float expression;
+ - similarities rounded to 6 decimals BEFORE ranking/filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nrsr_crawler_spark.entry_queries import ORACLES, QUERIES, query
+from nrsr_crawler_spark.operators import dedup as D
+from nrsr_crawler_spark.operators import similarity as SIM
+from nrsr_crawler_spark.operators import text as T
+from nrsr_crawler_spark.sources.tpch import load
+
+# shared SQL fragment: distinct word-trigram shingles per doc
+SHINGLES_CTE = """
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, s AS shingle
+    FROM words, UNNEST(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS t(s)
+)
+"""
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS kept_id, COUNT(*) AS group_size
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, common, sa.n AS na, sb.n AS nb
+    FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common * 100 >= (sa.n + sb.n - common) * 3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(load(spark, sf_dir, "documents"), "doc_id", "text", 3, 3, 100)
+
+
+_MINHASH_SQL = ", ".join(
+    f"MIN(md5('{j}:' || shingle)) AS h{j}" for j in range(8)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_MINHASH_SQL} FROM sh GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bucket FROM sigs
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    verified AS (
+        SELECT p.id_a, p.id_b, p.common, sa.n AS na, sb.n AS nb
+        FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE p.common * 2 >= (sa.n + sb.n - p.common) * 1
+    )
+    SELECT v.* FROM verified v JOIN cands c ON c.id_a = v.id_a AND c.id_b = v.id_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8, bands=2,
+        threshold_num=1, threshold_den=2,
+    )
+
+
+_NIB = "(strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1)"
+_H16 = f"({_NIB.format(i=1)} * 4096 + {_NIB.format(i=2)} * 256 + {_NIB.format(i=3)} * 16 + {_NIB.format(i=4)})"
+_BITSUMS = ", ".join(
+    f"SUM(CASE WHEN (h16 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16)
+)
+_SIMHASH = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, u.w FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+    ),
+    th AS (SELECT doc_id, {_H16} AS h16 FROM toks),
+    bitsums AS (SELECT doc_id, {_BITSUMS} FROM th GROUP BY doc_id)
+    SELECT doc_id, {_SIMHASH} AS simhash FROM bitsums
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash16(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.e, b.e)
+                / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))), 6) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = D.embedding_near_dups(emb, "vec_id", "embedding", threshold=-1.0)
+    return out.filter(F.col("cos_sim") >= 0.45)
+
+
+@query(
+    "ann_bruteforce_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    sims AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qe, e)
+                     / (SQRT(list_dot_product(qe, qe)) * SQRT(list_dot_product(e, e))), 6) AS cos_sim
+        FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM sims
+    ) WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = SIM.bruteforce_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only check: the plane literals make a SQL
+    oracle impractically large; exactness vs brute force is asserted in
+    tests/test_similarity_text.py::test_lsh_topk_recall)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.lsh_topk(emb, queries, dim=64, k=5, bits=4, tables=16).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+QUERIES["ann_lsh_bucketed"] = ann_lsh_bucketed
+
+
+@query(
+    "text_quality",
+    """
+    WITH toks AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           len(tk) AS n_tokens,
+           CAST(ROUND(LENGTH(regexp_replace(text, '\\s', '', 'g')) * 10000.0 / len(tk)) AS BIGINT) AS mean_word_len_centi,
+           CAST(ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10000.0 / LENGTH(text)) AS BIGINT) AS punct_bps,
+           CAST(ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g'))) * 10000.0 / LENGTH(text)) AS BIGINT) AS upper_bps,
+           CAST(ROUND(len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','it'], lower(t)))) * 10000.0 / len(tk)) AS BIGINT) AS stopword_bps
+    FROM toks
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_features(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_HITS_SQL = ", ".join(
+    "len(list_filter(tk, t -> list_contains([{words}], lower(t)))) AS hits_{lang}".format(
+        words=", ".join(f"'{w}'" for w in ws), lang=lang
+    )
+    for lang, ws in sorted(T.LANG_MARKERS.items())
+)
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    hits AS (SELECT doc_id, lang, {_HITS_SQL} FROM toks)
+    SELECT doc_id, lang, hits_de, hits_en, hits_sk,
+           CASE WHEN hits_de >= greatest(hits_en, hits_sk, 1) THEN 'de'
+                WHEN hits_en >= greatest(hits_de, hits_sk, 1) THEN 'en'
+                WHEN hits_sk >= greatest(hits_de, hits_en, 1) THEN 'sk'
+                ELSE 'unk' END AS pred_lang
+    FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return T.lang_scores(docs, "text").select(
+        "doc_id", "lang", "hits_de", "hits_en", "hits_sk", "pred_lang"
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                        w -> CAST(ceil(LENGTH(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+def images_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint image+caption table (rows-only: bytes can't be built in
+    SQL; per-row PSNR/caption invariants asserted in tests/test_images.py).
+    Captions derive from customer names for determinism."""
+    from nrsr_crawler_spark.sources.images import build_images
+
+    captions = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            F.format_string("img%010d", F.col("c_custkey")).alias("image_id"),
+            F.concat(F.lit("Poslanec "), F.col("c_name"), F.lit(" (7. obdobie)")).alias("caption"),
+        )
+    )
+    return build_images(spark, captions).drop("bytes")
+
+
+QUERIES["images_table"] = images_table
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over the image table (rows-only)."""
+    from nrsr_crawler_spark.operators.multimodal import decode_stats
+    from nrsr_crawler_spark.sources.images import build_images
+
+    captions = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(
+            F.format_string("img%010d", F.col("c_custkey")).alias("image_id"),
+            F.col("c_name").alias("caption"),
+        )
+    )
+    return decode_stats(build_images(spark, captions))
+
+
+QUERIES["multimodal_features"] = multimodal_features

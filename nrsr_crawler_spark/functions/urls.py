@@ -56,9 +56,20 @@ def canonicalize(url: Column) -> Column:
     )
 
 
-def canonicalize_py(url: str) -> str:
-    """Plain-Python mirror of :func:`canonicalize` (simulator/tests only)."""
-    p = urlsplit(url)
+def canonicalize_py(url: str | None) -> str | None:
+    """Plain-Python mirror of :func:`canonicalize` (simulator/tests only).
+
+    Returns None for non-fetchable/malformed URLs (no scheme or no host) —
+    the Spark expression yields NULL for those (host is NULL → concat NULL).
+    """
+    if not url:
+        return None
+    try:
+        p = urlsplit(url)
+    except ValueError:
+        return None
+    if not p.scheme or not p.hostname:
+        return None
     scheme = p.scheme.lower()
     host = (p.hostname or "").lower()
     port = p.port

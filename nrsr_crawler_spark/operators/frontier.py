@@ -53,6 +53,23 @@ def prepare_candidates(raw: DataFrame, url_col: str = "url", seq_col: str = "seq
     return winners
 
 
+def prepare_in_batch(candidates: DataFrame, seq_col: str = "seq") -> DataFrame:
+    """In-batch exact dedup for candidates that already carry url_hash:
+    keep the first-scheduled row (min ``seq``, deterministic tiebreak over the
+    remaining columns) per fingerprint.  One shuffle on url_hash."""
+    other = [c for c in candidates.columns if c not in ("url_hash", seq_col)]
+    payload = F.struct(F.col(seq_col).alias("__seq"), *[F.col(c) for c in other])
+    return (
+        candidates.groupBy("url_hash")
+        .agg(F.min(payload).alias("w"))
+        .select(
+            "url_hash",
+            F.col("w.__seq").alias(seq_col),
+            *[F.col(f"w.{c}").alias(c) for c in other],
+        )
+    )
+
+
 def dedup_against_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     """Cross-epoch J4: drop candidates whose fingerprint is already seen.
 

@@ -1,0 +1,140 @@
+"""Multimodal binary-column operators (task brief: treat image/audio/video as
+opaque ``binary`` + typed metadata; decode / feature-extract / resize /
+frame-sample as Arrow-batched UDFs over ``mapInPandas``).
+
+Real here: schemas, Arrow batch shape, partitioning, the FIMG fake-codec
+decode (sources/images.py), numpy resize/feature kernels, and the
+frame-sample container walk.  Stubbed here (container lacks Pillow/ffmpeg):
+decoding real PNG/JPEG/audio/video bytes — those branches raise
+``NotImplementedError`` explicitly; at deploy time they become
+``PIL.Image.open`` / pyav calls inside the SAME mapInPandas functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from nrsr_crawler_spark.sources.images import MAGIC, decode_image, encode_image, phash64
+
+DECODE_SCHEMA = "image_id string, w int, h int, fmt string, mean_px double, std_px double, phash long"
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+FRAMES_SCHEMA = "video_id string, frame_idx int, frame_bytes binary, w int, h int"
+FEATURES_SCHEMA = "image_id string, features array<float>"
+
+
+def _decode_any(data: bytes) -> tuple[np.ndarray, str]:
+    if bytes(data[:4]) == MAGIC:
+        return decode_image(bytes(data))
+    # real-codec branch — requires Pillow, absent in this container
+    raise NotImplementedError("non-FIMG payloads need Pillow (PIL.Image.open) at deploy time")
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """binary → typed metadata + pixel stats (the 'decode' stage)."""
+
+    def _gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "w", "h", "fmt", "mean_px", "std_px", "phash")}
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                px, fmt = _decode_any(data)
+                out["image_id"].append(iid)
+                out["w"].append(px.shape[1])
+                out["h"].append(px.shape[0])
+                out["fmt"].append(fmt)
+                out["mean_px"].append(float(px.mean()))
+                out["std_px"].append(float(px.std()))
+                out["phash"].append(phash64(px))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes").mapInPandas(_gen, schema=DECODE_SCHEMA)
+
+
+def block_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic block-mean resize (area interpolation)."""
+    h, w = px.shape
+    ys = np.linspace(0, h, out_h + 1).astype(int)
+    xs = np.linspace(0, w, out_w + 1).astype(int)
+    out = np.empty((out_h, out_w), dtype=np.uint8)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = px[ys[i]: max(ys[i + 1], ys[i] + 1), xs[j]: max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = int(round(float(block.mean())))
+    return out
+
+
+def resize_images(images: DataFrame, out_h: int = 16, out_w: int = 16) -> DataFrame:
+    """binary → re-encoded resized binary (the 'thumbnail' stage the
+    reference's ImagesPipeline ran via Pillow, settings.py:79-84)."""
+
+    def _gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt")}
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                px, fmt = _decode_any(data)
+                small = block_resize(px, out_h, out_w)
+                out["image_id"].append(iid)
+                out["bytes"].append(encode_image(small, fmt))
+                out["w"].append(out_w)
+                out["h"].append(out_h)
+                out["fmt"].append(fmt)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes").mapInPandas(_gen, schema=RESIZE_SCHEMA)
+
+
+def extract_features(images: DataFrame, bins: int = 16) -> DataFrame:
+    """binary → embedding-ish feature vector (normalized histogram)."""
+
+    def _gen(batches):
+        for pdf in batches:
+            out = {"image_id": [], "features": []}
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                px, _ = _decode_any(data)
+                hist, _edges = np.histogram(px, bins=bins, range=(0, 256))
+                feats = (hist / max(px.size, 1)).astype(np.float32)
+                out["image_id"].append(iid)
+                out["features"].append(feats.tolist())
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes").mapInPandas(_gen, schema=FEATURES_SCHEMA)
+
+
+# -- video: concatenated FIMG frames with a u32 count header --------------------
+
+def pack_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
+    parts = [len(frames).to_bytes(4, "little")]
+    for f in frames:
+        b = encode_image(f, fmt)
+        parts.append(len(b).to_bytes(4, "little"))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def sample_frames(videos: DataFrame, every: int = 2) -> DataFrame:
+    """video binary → every-Nth decoded frame re-encoded standalone
+    (the 'frame-sample' stage; pyav/ffmpeg at deploy time)."""
+
+    def _gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("video_id", "frame_idx", "frame_bytes", "w", "h")}
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                buf = bytes(data)
+                n = int.from_bytes(buf[:4], "little")
+                off = 4
+                for idx in range(n):
+                    ln = int.from_bytes(buf[off: off + 4], "little")
+                    off += 4
+                    frame = buf[off: off + ln]
+                    off += ln
+                    if idx % every == 0:
+                        px, _fmt = decode_image(frame)
+                        out["video_id"].append(vid)
+                        out["frame_idx"].append(idx)
+                        out["frame_bytes"].append(frame)
+                        out["w"].append(px.shape[1])
+                        out["h"].append(px.shape[0])
+            yield pd.DataFrame(out)
+
+    return videos.select("video_id", "bytes").mapInPandas(_gen, schema=FRAMES_SCHEMA)

@@ -1,0 +1,128 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(training-data-pipeline operator; task brief: brute-force cosine top-k
+baseline + an LSH-bucketed scale path).
+
+ - ``bruteforce_topk`` — exact top-k by cosine for a (small) query set
+   against the full corpus: broadcast the queries, one pass over the corpus,
+   per-query top-k via window.  Exact baseline; corpus-size-linear.
+ - ``lsh_topk`` — random-hyperplane LSH: sign-bit bucket per vector from a
+   deterministic seeded plane set; candidates = corpus sharing a bucket with
+   the query under ≥1 of ``tables`` independent plane sets; exact cosine +
+   top-k among candidates only.  Recall is tunable via (bits, tables); the
+   planes are plain float literals so the operator stays engine-portable
+   (DuckDB oracle uses the same literals).
+
+Scale notes: at 10^9 vectors the corpus never self-joins — buckets shard the
+corpus (shuffle key = bucket id), queries broadcast, and per-bucket
+candidate lists stay bounded because ``bits`` grows with log(n).  A true IVF
+(k-means coarse quantizer) drops in by replacing the bucketer; the pipeline
+shape is identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from nrsr_crawler_spark.operators.dedup import cosine_sim
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def random_planes(dim: int, bits: int, table: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplanes (seeded, reproducible anywhere)."""
+    rng = np.random.default_rng(seed * 1000 + table)
+    return [[float(v) for v in rng.standard_normal(dim)] for _ in range(bits)]
+
+
+def plane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of ``vec`` against literal planes — pure JVM
+    expressions (zip_with dot product per plane)."""
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in p])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def bruteforce_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query (query_id, neighbor_id, cos_sim, rank).
+
+    Similarity is rounded BEFORE ranking so rank order is reproducible across
+    engines with different summation order; ties break on neighbor id.
+    """
+    q = broadcast(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_sim(_as_double(F.col("qv")), _as_double(F.col("cv"))), sim_decimals).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """LSH-bucketed ANN: same output shape as bruteforce_topk, approximate
+    (rank within retrieved candidates)."""
+    def bucketize(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        out = df.select(F.col(idc), _as_double(F.col(vecc)).alias("__v"))
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    plane_bucket(F.col("__v"), random_planes(dim, bits, t, seed)).alias("bucket"),
+                )
+                for t in range(tables)
+            ]
+        )
+        return out.select(F.col(idc), "__v", F.explode(buckets).alias("tb")).select(
+            F.col(idc), "__v", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+        )
+
+    qb = broadcast(
+        bucketize(queries, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col("__v").alias("qv"), "table", "bucket"
+        )
+    )
+    cb = bucketize(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("cv"), "table", "bucket"
+    )
+    cands = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_sim(F.col("qv"), F.col("cv")), sim_decimals).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

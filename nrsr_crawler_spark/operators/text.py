@@ -1,0 +1,93 @@
+"""Text analysis suite (training-data-pipeline operators): language-ID,
+quality scoring, token counting, document fingerprinting.
+
+Pure column expressions (codegen) over the ``documents`` table; ratios are
+emitted as integer basis points (``round(x*10000)::bigint``) so every
+operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny stopword marker sets for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "sk": ("a", "je", "na", "sa", "to", "z", "v", "že"),
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace, trimmed)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count word pieces + punctuation via regex — the classic
+    'tokens ≈ words + punct + 0.3·long-word splits' estimator, here as the
+    count of regex matches of word chunks of ≤4 chars."""
+    # split every word into ceil(len/4) pieces: sum over words
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+
+
+def _marker_hits(text_tokens: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(text_tokens, lambda t: F.lower(t).isin(*markers)))
+
+
+def lang_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-language marker-hit counts + predicted language (argmax, ties →
+    lexicographic)."""
+    toks = tokens(F.col(text_col))
+    out = df
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        out = out.withColumn(f"hits_{lang}", _marker_hits(toks, markers))
+    # argmax with ties → lexicographically smallest language: build the
+    # when-chain so the smallest lang is tested OUTERMOST (last wrap wins ties)
+    pred = F.lit("unk")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            F.col(f"hits_{lang}")
+            >= F.greatest(*[F.col(f"hits_{l2}") for l2 in sorted(LANG_MARKERS) if l2 != lang], F.lit(1)),
+            F.lit(lang),
+        ).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-scoring features: length, token count, mean word length,
+    punctuation ratio, stopword ratio, uppercase ratio — integer/bps outputs."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    stop_hits = _marker_hits(toks, STOPWORDS_EN)
+    bps = lambda num, den: F.round(num * 10000.0 / den).cast("long")  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        bps(F.length(F.regexp_replace(t, r"\s", "")), n_tok).alias("mean_word_len_centi"),
+        bps(punct, F.length(t)).alias("punct_bps"),
+        bps(upper, F.length(t)).alias("upper_bps"),
+        bps(stop_hits, n_tok).alias("stopword_bps"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (portable rolling-hash stand-in with an exact oracle)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,46 @@
+"""Bloom seen-set invariants (SURVEY §5 item 1): zero false negatives,
+bounded false-positive rate, end-to-end dedup == exact dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nrsr_crawler_spark.operators import seen as S
+
+
+def _hashes(spark, lo, hi, tag=""):
+    return spark.range(lo, hi).select(
+        F.xxhash64(F.concat(F.lit(tag), F.col("id").cast("string"))).alias("url_hash")
+    )
+
+
+def test_zero_false_negatives(spark):
+    seen = _hashes(spark, 0, 5000)
+    segs = S.build_segments(seen, n_segments=8)
+    flagged = S.bloom_flag(seen, segs, n_segments=8)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_fp_rate_bounded(spark):
+    seen = _hashes(spark, 0, 5000)
+    segs = S.build_segments(seen, n_segments=8)  # 64Ki bits/seg, 8 segs, k=7 → ~5k keys
+    fresh = _hashes(spark, 0, 20000, tag="other:")
+    flagged = S.bloom_flag(fresh, segs, n_segments=8)
+    fp = flagged.filter(F.col("maybe_seen")).count() / 20000
+    assert fp < 0.01, fp
+
+
+def test_dedup_with_bloom_equals_exact(spark):
+    seen = _hashes(spark, 0, 3000)
+    segs = S.build_segments(seen, n_segments=8)
+    cand = _hashes(spark, 1500, 6000).withColumn("seq", F.col("url_hash") % 100)
+    got = S.dedup_with_bloom(cand, seen, segs, n_segments=8)
+    exact = cand.join(seen, "url_hash", "left_anti")
+    assert got.count() == exact.count()
+    assert got.select("url_hash").exceptAll(exact.select("url_hash")).count() == 0
+
+
+def test_bits_sizing():
+    m, k = S.bits_for(1_000_000, 0.01)
+    assert 9_000_000 < m < 10_000_000
+    assert 6 <= k <= 8

@@ -1,0 +1,117 @@
+"""ANN search + text-analysis operators over the driver's testdata tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nrsr_crawler_spark.operators import similarity as SIM
+from nrsr_crawler_spark.operators import text as T
+from nrsr_crawler_spark.operators import multimodal as MM
+from nrsr_crawler_spark.sources import images as I
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bruteforce_topk(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = SIM.bruteforce_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.bruteforce_topk(emb, queries, k=5)
+    # top-1 cosines in this data are only ~0.33 (θ≈70°), so per-bit collision
+    # p≈0.61 → bits=4, tables=16 gives theoretical recall ≈0.9
+    approx = SIM.lsh_topk(emb, queries, dim=64, k=5, bits=4, tables=16)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("one two  three",), ("",), ("  x ",)], "t string")
+    got = [r["n"] for r in df.select(T.token_count(F.col("t")).alias("n")).collect()]
+    assert got == [3, 0, 1]
+
+
+def test_lang_id_on_documents(spark):
+    # NB the testdata's `lang` column is a synthetic label unrelated to the
+    # text — every doc is the same English-ish word soup; the heuristic must
+    # detect that (predict 'en' or abstain with 'unk', never another lang)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    scored = T.lang_scores(docs, "text")
+    en_rate = scored.filter(F.col("pred_lang") == "en").count() / docs.count()
+    assert en_rate > 0.85, en_rate
+    assert scored.filter(~F.col("pred_lang").isin("en", "unk")).count() == 0
+
+
+def test_lang_id_discriminates(spark):
+    rows = [
+        (1, "the cat and the dog walk to a house in the rain"),
+        (2, "der Hund und die Katze ist nicht ein Tier zu Hause"),
+        (3, "qqq www eee rrr"),
+    ]
+    scored = T.lang_scores(spark.createDataFrame(rows, "doc_id long, text string"), "text")
+    got = {r["doc_id"]: r["pred_lang"] for r in scored.collect()}
+    assert got == {1: "en", 2: "de", 3: "unk"}
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "The quick fox, it is!")], "doc_id long, text string")
+    r = T.quality_features(df, "doc_id", "text").collect()[0]
+    assert r["n_tokens"] == 5
+    assert r["punct_bps"] > 0 and r["upper_bps"] > 0
+    assert r["stopword_bps"] > 0  # 'it' + 'is'
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame([(1, "A  b\tc"), (2, "a b c"), (3, "a b d")], "doc_id long, text string")
+    fps = {r["doc_id"]: r["fingerprint"] for r in T.fingerprint(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_multimodal_pipeline(spark):
+    ids = [(f"img{i:010d}", f"cap {i}") for i in range(1, 13)]
+    images = I.build_images(spark, spark.createDataFrame(ids, "image_id string, caption string"))
+    stats = MM.decode_stats(images)
+    assert stats.count() == 12
+    assert stats.filter((F.col("mean_px") < 0) | (F.col("mean_px") > 255)).count() == 0
+    small = MM.resize_images(images, 8, 8)
+    assert small.filter((F.col("w") != 8) | (F.col("h") != 8)).count() == 0
+    feats = MM.extract_features(images, bins=16).collect()
+    assert all(len(r["features"]) == 16 for r in feats)
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-3 for r in feats)
+
+
+def test_frame_sampling(spark):
+    import numpy as np
+
+    frames = [I.original_pixels(f"f{i}") for i in range(6)]
+    data = MM.pack_video(frames, "png")
+    videos = spark.createDataFrame([("v1", bytearray(data))], "video_id string, bytes binary")
+    sampled = MM.sample_frames(videos, every=2).collect()
+    assert [r["frame_idx"] for r in sorted(sampled, key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    px, _ = I.decode_image(bytes(sorted(sampled, key=lambda r: r["frame_idx"])[0]["frame_bytes"]))
+    assert np.array_equal(px, frames[0])
+
+
+def test_non_fimg_decode_is_explicit_stub(spark):
+    import pytest
+
+    with pytest.raises(Exception, match="Pillow|NotImplemented"):
+        MM.decode_stats(
+            spark.createDataFrame([("x", bytearray(b"\x89PNG\r\n..."))], "image_id string, bytes binary")
+        ).collect()
