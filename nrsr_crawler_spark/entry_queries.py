@@ -410,3 +410,6 @@ ORACLES["flagship_frontier_schedule"] = FLAGSHIP_ORACLE
 
 # training-data pipeline battery (dedup / ANN / text / multimodal)
 import nrsr_crawler_spark.entry_queries_ml  # noqa: E402,F401
+
+# remaining §2 checklist rows (A3/A4/F7/S6/robots/U3/J5/O2)
+import nrsr_crawler_spark.entry_queries_ext  # noqa: E402,F401

@@ -1,0 +1,272 @@
+"""Extension query battery — remaining SURVEY §2 checklist rows not already
+covered by entry_queries.py / entry_queries_ml.py, each with a DuckDB oracle:
+
+ - A4  nested list building (collect_list(struct) + array_sort)
+ - A3  cross-epoch first-writer-wins entity dedup
+ - F7  two-format date parse with fallback + noon normalization
+ - S6  archive side of the upsert sink (old versions of changed rows)
+ - robots.txt longest-prefix allow/deny evaluation (north_star)
+ - U3  intersect (membership guard)
+ - J5  parent→child lineage meta carry-through
+ - O2  key-ordered store read (rank exposed so order is hash-verifiable)
+
+Registered into entry_queries.QUERIES/ORACLES on import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nrsr_crawler_spark.entry_queries import query
+from nrsr_crawler_spark.functions import cleaners as C
+from nrsr_crawler_spark.operators import merge_sink, robots
+from nrsr_crawler_spark.sources.tpch import load
+
+
+# ---------------------------------------------------------------------------
+# A4: nested list building — votes accumulated into a parent row
+# (votings.py:201-216) as sort_array(collect_list(struct(...))), then flat
+# summary columns so the value-hash compare stays engine-portable.
+# O1's deterministic output sort (votings.py:243) is the array_sort.
+# ---------------------------------------------------------------------------
+@query(
+    "a4_nested_votes",
+    """
+    WITH m AS (
+        SELECT l_orderkey, COUNT(*) AS n_votes,
+               MIN(l_linenumber) AS first_line, MAX(l_linenumber) AS last_line
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT m.l_orderkey, m.n_votes, MIN(l.l_returnflag) AS first_flag,
+           m.first_line, m.last_line
+    FROM lineitem l JOIN m ON l.l_orderkey = m.l_orderkey AND l.l_linenumber = m.first_line
+    GROUP BY m.l_orderkey, m.n_votes, m.first_line, m.last_line
+    """,
+)
+def a4_nested_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("l_linenumber").alias("line"), F.col("l_returnflag").alias("flag")))
+        ).alias("votes")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("votes").cast("long").alias("n_votes"),
+        F.element_at("votes", 1)["flag"].alias("first_flag"),
+        F.element_at("votes", 1)["line"].alias("first_line"),
+        F.element_at("votes", -1)["line"].alias("last_line"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: cross-epoch entity dedup — first writer wins (amendments.py:179-181,
+# `if external_id not in self.crawled_amendments`).  Set-wise: argmin over
+# the discovery order, ties broken by key (min(struct)) — exactly how the
+# engine picks the surviving frontier row in operators/frontier.py.
+# ---------------------------------------------------------------------------
+@query(
+    "a3_first_writer_wins",
+    """
+    WITH m AS (SELECT o_custkey, MIN(o_orderdate) AS first_date FROM orders GROUP BY o_custkey)
+    SELECT o.o_custkey, m.first_date, MIN(o.o_orderkey) AS first_orderkey
+    FROM orders o JOIN m ON o.o_custkey = m.o_custkey AND o.o_orderdate = m.first_date
+    GROUP BY o.o_custkey, m.first_date
+    """,
+)
+def a3_first_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.min(F.struct(F.col("o_orderdate"), F.col("o_orderkey"))).alias("w"))
+        .select(
+            "o_custkey",
+            F.col("w.o_orderdate").alias("first_date"),
+            F.col("w.o_orderkey").alias("first_orderkey"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7: date parse with format fallback ('%d. %m. %Y' then '%d.%m.%Y',
+# bills.py:114-121) + noon normalization — the messy string is synthesized in
+# BOTH formats (by row parity) and must round-trip through the fallback chain.
+# ---------------------------------------------------------------------------
+@query(
+    "f7_date_fallback",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%-d. %-m. %Y')
+                ELSE strftime(o_orderdate, '%-d.%-m.%Y') END AS raw,
+           CAST(date_trunc('day', o_orderdate) + INTERVAL 12 HOUR AS TIMESTAMP) AS parsed_noon
+    FROM orders
+    """,
+)
+def f7_date_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    raw = F.when(
+        F.col("o_orderkey") % 2 == 0, F.date_format("o_orderdate", "d. M. yyyy")
+    ).otherwise(F.date_format("o_orderdate", "d.M.yyyy"))
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw"),
+        C.parse_date_noon(raw).alias("parsed_noon"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6: archive side of the upsert sink (pipelines.py:139-140) — the OLD
+# version of every changed row lands in the archive table.
+# ---------------------------------------------------------------------------
+@query(
+    "s6_archive_rows",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey % 3 = 0 AND c_custkey % 5 <> 0
+    """,
+)
+def s6_archive_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    batch = customer.filter(F.col("c_custkey") % 5 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 1).otherwise(F.col("c_acctbal")),
+    )
+    res = merge_sink.merge_upsert(customer, batch, ["c_custkey"])
+    return res.archived.select("c_custkey", "c_name", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# robots.txt evaluation (north_star; reference disables it at settings.py:22,
+# the engine evaluates longest-prefix allow/deny properly).  Zero-shuffle:
+# the ruleset compiles to one boolean column expression.
+# ---------------------------------------------------------------------------
+_ROBOTS_RULES = [
+    {"host": "www.nrsr.sk", "user_agent": "*", "rule": "disallow", "path_prefix": "/web/private"},
+    {"host": "www.nrsr.sk", "user_agent": "*", "rule": "allow", "path_prefix": "/web/private/pub"},
+    {"host": "www.nrsr.sk", "user_agent": "*", "rule": "disallow", "path_prefix": "/admin"},
+    {"host": "h1.nrsr.sk", "user_agent": "*", "rule": "disallow", "path_prefix": "/"},
+]
+
+
+@query(
+    "robots_allow",
+    """
+    WITH cand AS (
+        SELECT o_orderkey,
+               CASE o_orderkey % 3 WHEN 0 THEN 'www.nrsr.sk' WHEN 1 THEN 'h1.nrsr.sk' ELSE 'h2.nrsr.sk' END AS host,
+               CASE o_orderkey % 4 WHEN 0 THEN '/web/private/doc'
+                                   WHEN 1 THEN '/web/private/pub/doc'
+                                   WHEN 2 THEN '/admin/x'
+                                   ELSE '/web/doc' END AS path
+        FROM orders
+    )
+    SELECT o_orderkey, host, path,
+           CASE WHEN host = 'h1.nrsr.sk' THEN FALSE
+                WHEN host <> 'www.nrsr.sk' THEN TRUE
+                WHEN path LIKE '/web/private/pub%' THEN TRUE
+                WHEN path LIKE '/web/private%' THEN FALSE
+                WHEN path LIKE '/admin%' THEN FALSE
+                ELSE TRUE END AS allowed
+    FROM cand
+    """,
+)
+def robots_allow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    host = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("www.nrsr.sk"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("h1.nrsr.sk"))
+        .otherwise(F.lit("h2.nrsr.sk"))
+    )
+    path = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("/web/private/doc"))
+        .when(F.col("o_orderkey") % 4 == 1, F.lit("/web/private/pub/doc"))
+        .when(F.col("o_orderkey") % 4 == 2, F.lit("/admin/x"))
+        .otherwise(F.lit("/web/doc"))
+    )
+    cand = orders.select(
+        "o_orderkey",
+        host.alias("host"),
+        path.alias("path"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    return cand.select(
+        "o_orderkey",
+        "host",
+        "path",
+        robots.allowed_expr(_ROBOTS_RULES, F.col("url"), F.col("host")).alias("allowed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U3: intersect-guard — membership test as a set op (SURVEY §2.7;
+# `in self.crawled_*` checks).
+# ---------------------------------------------------------------------------
+@query(
+    "u3_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return rich.intersect(urgent)
+
+
+# ---------------------------------------------------------------------------
+# J5: parent→child lineage meta carry (votings.py:150-158) — every child URL
+# row inherits the parent's context columns; expressed as the parse-stage
+# projection (a join here because parent/child live in separate tables).
+# ---------------------------------------------------------------------------
+@query(
+    "j5_lineage_carry",
+    """
+    SELECT 'https://www.nrsr.sk/web/Default.aspx?sid=zakony&MasterID=' || l.l_partkey AS child_url,
+           o.o_orderkey AS parent_id,
+           o.o_orderpriority AS parent_priority,
+           CAST(o.o_orderkey % 8 + 1 AS BIGINT) AS period_num
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'P'
+    """,
+)
+def j5_lineage_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.concat(
+            F.lit("https://www.nrsr.sk/web/Default.aspx?sid=zakony&MasterID="), F.col("l_partkey")
+        ).alias("child_url"),
+        F.col("o_orderkey").alias("parent_id"),
+        F.col("o_orderpriority").alias("parent_priority"),
+        (F.col("o_orderkey") % 8 + 1).cast("long").alias("period_num"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2: key-ordered store read (missing_members.py:28,34 — Mongo reads sorted by
+# (period_num, external_id)).  The rank column materializes the order so the
+# driver's order-insensitive hash still verifies it.  Partitioned by nation to
+# stay scale-sane (a single global ORDER BY is the anti-pattern at 10^10 rows).
+# ---------------------------------------------------------------------------
+@query(
+    "o2_ordered_read",
+    """
+    SELECT c_nationkey, c_custkey,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+    FROM customer
+    """,
+)
+def o2_ordered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return customer.select(
+        "c_nationkey", "c_custkey", F.row_number().over(w).alias("rk")
+    )
