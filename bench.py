@@ -40,7 +40,7 @@ HEADLINE = [
 ]
 
 
-def frontier_throughput(spark, sf_dir: str, repeat: int = 3) -> tuple[float, int]:
+def frontier_throughput(spark, sf_dir: str, repeat: int = 5) -> tuple[float, int]:
     """North metric: URLs scheduled+deduped per second (median of repeats)."""
     from nrsr_crawler_spark.operators import frontier, politeness, seen as seen_ops
 

@@ -29,30 +29,175 @@ from pyspark.sql import functions as F
 
 DEFAULT_PORTS = {"http": 80, "https": 443}
 
+_SCHEME_RE = r"^[a-z][a-z0-9+.\-]*$"
+
+
+def with_canon(
+    df,
+    url_col: str = "url",
+    canon_col: str = "canon_url",
+    host_col: str | None = "host",
+    hash_col: str | None = None,
+    valid_col: str | None = None,
+):
+    """HOT-PATH canonicalizer: adds ``canon_col`` (+ optional host/hash
+    columns) to ``df`` via stepwise aliased projections.
+
+    Why a DataFrame transform and not :func:`canonicalize`'s single Column:
+    a nested Column expression inlines every intermediate (authority, path,
+    query, …) as a full subtree at each use site; past codegen's method-size
+    limits Spark falls back to interpreted eval and the duplicated subtrees
+    are recomputed per row (measured 28 s vs 2 s for 600 k rows at sf0.1).
+    Materializing each intermediate as an aliased column keeps evaluation
+    linear in the number of distinct pieces regardless of codegen decisions.
+
+    Scale warning: do NOT filter on ``canon_col IS NOT NULL`` directly above
+    this transform — predicate pushdown substitutes the whole alias chain
+    back into one giant predicate and re-triggers the blowup (``canon_col``
+    references every piece, several of them twice, and substitution
+    multiplies through the levels).  Either dedup first (nulls collapse into
+    the xxhash64(NULL) group) and filter after the aggregation, as
+    ``operators.frontier.prepare_candidates`` does, or — when rows must be
+    dropped *before* a stateful op, as in streaming — pass ``valid_col`` and
+    filter on that boolean: its expression references each intermediate only
+    once, so the pushed-down predicate stays linear.
+    """
+    u = F.col(url_col)
+    dp = F.when(F.col("__scheme") == "http", F.lit(80)).when(
+        F.col("__scheme") == "https", F.lit(443)
+    )
+    out = (
+        df.withColumns({"__loc": F.locate("://", u), "__len": F.length(u)})
+        .withColumns(
+            {
+                "__scheme": F.lower(F.substring(u, 1, F.col("__loc") - F.lit(1))),
+                "__rest": F.substring_index(
+                    F.substring(u, F.col("__loc") + F.lit(3), F.col("__len")), "#", 1
+                ),
+            }
+        )
+        .withColumns({"__qsplit": F.split(F.col("__rest"), r"\?", 2)})
+        .withColumns(
+            {
+                "__authpath": F.element_at(F.col("__qsplit"), 1),
+                "__query": F.coalesce(
+                    F.try_element_at(F.col("__qsplit"), F.lit(2)), F.lit("")
+                ),
+            }
+        )
+        .withColumns({"__auth": F.substring_index(F.col("__authpath"), "/", 1)})
+        .withColumns(
+            {
+                "__path": F.when(
+                    F.length(F.col("__authpath")) == F.length(F.col("__auth")),
+                    F.lit("/"),
+                ).otherwise(
+                    F.substring(
+                        F.col("__authpath"),
+                        F.length(F.col("__auth")) + F.lit(1),
+                        F.length(F.col("__authpath")),
+                    )
+                ),
+                "__hostport": F.substring_index(F.col("__auth"), "@", -1),
+            }
+        )
+        .withColumns(
+            {
+                "__host": F.lower(F.substring_index(F.col("__hostport"), ":", 1)),
+                "__port": F.when(
+                    F.col("__hostport").contains(":"),
+                    F.substring_index(F.col("__hostport"), ":", -1).try_cast("int"),
+                ),
+            }
+        )
+        .withColumns(
+            {
+                "__hostout": F.when(
+                    F.col("__port").isNotNull() & ~F.col("__port").eqNullSafe(dp),
+                    F.concat(F.col("__host"), F.lit(":"), F.col("__port").cast("string")),
+                ).otherwise(F.col("__host")),
+                "__sq": F.when(F.col("__query") == "", F.lit("")).otherwise(
+                    F.concat(
+                        F.lit("?"),
+                        F.array_join(F.array_sort(F.split(F.col("__query"), "&")), "&"),
+                    )
+                ),
+                "__valid": (F.col("__loc") > 0)
+                & (F.col("__host") != "")
+                & F.col("__scheme").rlike(_SCHEME_RE),
+            }
+        )
+        .withColumn(
+            canon_col,
+            F.when(~F.col("__valid"), F.lit(None).cast("string")).otherwise(
+                F.concat(
+                    F.col("__scheme"),
+                    F.lit("://"),
+                    F.col("__hostout"),
+                    F.col("__path"),
+                    F.col("__sq"),
+                )
+            ),
+        )
+    )
+    if host_col:
+        out = out.withColumn(host_col, F.when(F.col("__valid"), F.col("__host")))
+    if hash_col:
+        out = out.withColumn(hash_col, F.xxhash64(F.col(canon_col)))
+    if valid_col:
+        out = out.withColumn(valid_col, F.col("__valid"))
+    return out.drop(
+        "__loc", "__len", "__scheme", "__rest", "__qsplit", "__authpath", "__query",
+        "__auth", "__path", "__hostport", "__host", "__port", "__hostout", "__sq",
+        "__valid",
+    )
+
 
 def canonicalize(url: Column) -> Column:
-    """Canonical URL as a Column expression (JVM-side)."""
-    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
-    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
-    # parse_url(HOST) strips the port; recover non-default ports from AUTHORITY
-    port = F.regexp_extract(F.try_parse_url(url, F.lit("AUTHORITY")), r":(\d+)$", 1).try_cast("int")
+    """Canonical URL as a single Column expression — convenience/cold-path
+    form (oracle battery, one-off lookups).  Identical semantics to
+    :func:`with_canon`; see that function for why hot paths must use the
+    stepwise DataFrame transform instead (nested-subtree duplication makes
+    this Column form ~10× slower when codegen bails out).
+
+    Built from single-pass string scans (``substring_index``/``split``/
+    ``locate``) instead of ``parse_url`` — ``ParseUrlEvaluator`` re-parses
+    the whole URL per component (5 components ≈ 19 µs/row); the only regex
+    left validates the (short) scheme string.
+    """
+    loc = F.locate("://", url)  # 0 when absent; first occurrence
+    scheme = F.lower(F.substring(url, 1, loc - F.lit(1)))
+    # rest = after '://', with the fragment cut off
+    rest = F.substring_index(
+        F.substring(url, loc + F.lit(3), F.length(url)), "#", 1
+    )
+    qsplit = F.split(rest, r"\?", 2)
+    authpath = F.element_at(qsplit, 1)
+    query = F.coalesce(F.try_element_at(qsplit, F.lit(2)), F.lit(""))
+    auth = F.substring_index(authpath, "/", 1)
+    raw_path = F.substring(authpath, F.length(auth) + F.lit(1), F.length(authpath))
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    hostport = F.substring_index(auth, "@", -1)
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port = F.when(
+        hostport.contains(":"),
+        F.substring_index(hostport, ":", -1).try_cast("int"),
+    )
     default_port = F.when(scheme == "http", F.lit(80)).when(scheme == "https", F.lit(443))
-    host = F.when(
+    host_out = F.when(
         port.isNotNull() & ~(port.eqNullSafe(default_port)),
         F.concat(host, F.lit(":"), port.cast("string")),
     ).otherwise(host)
-    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.try_parse_url(url, F.lit("QUERY"))
     sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(
-            query.isNull() | (query == ""), F.lit("")
-        ).otherwise(F.concat(F.lit("?"), sorted_query)),
+    valid = (loc > 0) & (host != "") & scheme.rlike(_SCHEME_RE)
+    return F.when(~valid, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host_out,
+            path,
+            F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_query)),
+        )
     )
 
 
@@ -88,7 +233,19 @@ def url_hash(canon_url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+    """Host (no port/userinfo), lowercased; NULL for non-URLs.
+
+    Same char-scan construction as :func:`canonicalize` (no regex, no
+    parse_url) — this also runs per frontier row."""
+    loc = F.locate("://", url)
+    auth = F.substring_index(
+        F.substring_index(F.substring(url, loc + F.lit(3), F.length(url)), "#", 1),
+        "/",
+        1,
+    )
+    auth = F.substring_index(F.substring_index(auth, "?", 1), "@", -1)
+    h = F.lower(F.substring_index(auth, ":", 1))
+    return F.when((loc == 0) | (h == ""), F.lit(None).cast("string")).otherwise(h)
 
 
 def url_query_param(url: Column, key: str) -> Column:

@@ -30,12 +30,7 @@ def prepare_candidates(raw: DataFrame, url_col: str = "url", seq_col: str = "seq
     Carries through all other columns of ``raw`` (lineage/meta, SURVEY §2.3 J5).
     """
     meta_cols = [c for c in raw.columns if c not in (url_col,)]
-    prepared = (
-        raw.withColumn("canon_url", U.canonicalize(F.col(url_col)))
-        .filter(F.col("canon_url").isNotNull())
-        .withColumn("url_hash", U.url_hash(F.col("canon_url")))
-        .withColumn("host", U.url_host(F.col("canon_url")))
-    )
+    prepared = U.with_canon(raw, url_col=url_col, hash_col="url_hash")
     # exact in-batch dedup: min-seq row per fingerprint, via struct-min
     # (single shuffle on url_hash; no window needed)
     payload = F.struct(F.col(seq_col).alias("__seq"), *[F.col(c) for c in meta_cols if c != seq_col], F.col("canon_url"), F.col("host"))
@@ -50,7 +45,12 @@ def prepare_candidates(raw: DataFrame, url_col: str = "url", seq_col: str = "seq
             F.col("w.host").alias("host"),
         )
     )
-    return winners
+    # Invalid URLs (canon NULL) all hash to xxhash64(NULL) == the seed and
+    # collapse into ONE group; dropping them *after* the agg keeps the filter
+    # off the hot map side — a pre-agg filter on canon_url forces Catalyst to
+    # push the predicate below the projection and re-evaluate the whole canon
+    # expression per row (measured 2× the canon cost at sf0.1).
+    return winners.filter(F.col("canon_url").isNotNull())
 
 
 def prepare_in_batch(candidates: DataFrame, seq_col: str = "seq") -> DataFrame:

@@ -139,15 +139,86 @@ def bloom_flag(candidates: DataFrame, segments: DataFrame, n_segments: int = 16)
     return flagged.drop("__segment_id")
 
 
+_BROADCAST_BITS_LIMIT = 256 << 20  # 256 MB of bitsets comfortably broadcasts
+
+
+def bloom_flag_broadcast(candidates: DataFrame, segments: DataFrame, n_segments: int = 16) -> DataFrame:
+    """Broadcast-regime probe: ship ALL segment bitsets to every executor and
+    flag candidates with a scalar pandas UDF over ``url_hash`` alone.
+
+    Zero shuffle and zero wide-row Arrow transfer — only the hash column
+    crosses the Python boundary.  Valid whenever the total bitset size fits
+    executor memory (≲10^8-key seen sets); past that, the cogrouped
+    :func:`bloom_flag` keeps per-task memory at one segment.
+    """
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    spark = candidates.sparkSession
+    segs = {
+        int(r["segment_id"]): (np.frombuffer(r["bits"], dtype=np.uint8), int(r["m"]), int(r["k"]))
+        for r in segments.collect()
+    }
+    bc = spark.sparkContext.broadcast(segs)
+
+    @pandas_udf("boolean")
+    def probe(url_hash: pd.Series) -> pd.Series:
+        table = bc.value
+        h = url_hash.to_numpy()
+        out = np.zeros(len(h), dtype=bool)
+        seg_ids = (h % np.int64(n_segments) + n_segments) % np.int64(n_segments)
+        for seg in np.unique(seg_ids):
+            entry = table.get(int(seg))
+            if entry is None:
+                continue
+            bits, m, k = entry
+            mask = seg_ids == seg
+            out[mask] = _test_bits(bits, _positions(h[mask], m, k))
+        return pd.Series(out)
+
+    return candidates.withColumn("maybe_seen", probe(F.col("url_hash")))
+
+
 def dedup_with_bloom(
     candidates: DataFrame,
     seen: DataFrame,
     segments: DataFrame,
     n_segments: int = 16,
+    broadcast_bits: bool | None = None,
 ) -> DataFrame:
     """J4 end-to-end: bloom-negative rows pass straight through; only
     bloom-positive rows are exact-checked against ``seen``.  Result equals a
-    plain anti-join (zero false negatives), at a fraction of the probe cost."""
+    plain anti-join (zero false negatives), at a fraction of the probe cost.
+
+    Two physical regimes, picked by total bitset size unless forced:
+     - broadcast (≲256 MB of bits): :func:`bloom_flag_broadcast` — no
+       shuffle; the common case up to ~10^8 seen keys;
+     - partitioned (10^10 scale): :func:`bloom_flag` cogroups candidates
+       with their segment so each task holds exactly one bitset.
+    """
+    if broadcast_bits is None:
+        total_bits = segments.agg(F.sum(F.length("bits"))).collect()[0][0] or 0
+        broadcast_bits = total_bits <= _BROADCAST_BITS_LIMIT
+    if broadcast_bits:
+        # Single left-anti with a compound condition: bloom-negative rows can
+        # never match (maybe_seen=false) and stream through; bloom-positive
+        # rows drop iff their hash is in ``seen``.  One pass over the input —
+        # a filter-then-union formulation references the candidate pipeline
+        # twice and re-evaluates canon+agg+probe per branch (measured 2×
+        # wall on the sf0.1 frontier).
+        flagged = bloom_flag_broadcast(candidates, segments, n_segments)
+        s = F.broadcast(seen.select(F.col("url_hash").alias("__seen_hash")))
+        return flagged.join(
+            s,
+            (F.col("url_hash") == F.col("__seen_hash")) & F.col("maybe_seen"),
+            "left_anti",
+        ).drop("maybe_seen")
+    # Partitioned regime (bitsets too big to broadcast ⇒ ``seen`` is far too
+    # big to broadcast): only bloom-positive rows (ε of candidates) enter the
+    # shuffle anti-join — that asymmetry is the whole point at 10^10 keys.
+    # Callers iterating epochs should persist() candidates first: the two
+    # branches below each consume the probe output.
     flagged = bloom_flag(candidates, segments, n_segments)
     definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybes = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")

@@ -168,19 +168,21 @@ class CrawlEngine:
 
             # children: resolve reference-style (absolute pass-through, else
             # BASE_URL concat — members.py:76), canon+hash+robots at schedule time
-            edges = parse_ops.extract_children(fetched).withColumn(
-                "url",
-                F.when(
-                    F.col("href").startswith("http://") | F.col("href").startswith("https://"),
-                    F.col("href"),
-                ).otherwise(F.concat(F.lit(self.base_url), F.col("href"))),
-            ).withColumn("canon_url", U.canonicalize(F.col("url"))).withColumn(
-                "url_hash", U.url_hash(F.col("canon_url"))
+            edges = U.with_canon(
+                parse_ops.extract_children(fetched).withColumn(
+                    "url",
+                    F.when(
+                        F.col("href").startswith("http://") | F.col("href").startswith("https://"),
+                        F.col("href"),
+                    ).otherwise(F.concat(F.lit(self.base_url), F.col("href"))),
+                ),
+                hash_col="url_hash",
+                valid_col="url_ok",
             ).persist()
 
             cand = (
-                edges.filter(F.col("canon_url").isNotNull())
-                .withColumn("host", U.url_host(F.col("canon_url")))
+                edges.filter(F.col("url_ok"))
+                .drop("url_ok")
                 .withColumn("depth", F.col("parent_depth") + 1)
                 .withColumn("priority", F.lit(0))
                 .withColumn("seq", self._child_seq(epoch))

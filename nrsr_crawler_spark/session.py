@@ -51,7 +51,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local-SF realism knob: at 100 TB a scan yields tens of thousands of
+        # 128 MB splits and saturates every executor; the driver's sf0.1
+        # files are ~10 MB, which the 128 MB default turns into 1-3 tasks on
+        # 32 cores — measuring single-core constant factors, not the plan.
+        # Small splits restore the cluster-like scan shape; override with
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=128m for real-cluster submits.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "262144")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -81,12 +81,16 @@ def candidate_stream(
 
 def prepare_stream(raw: DataFrame, url_col: str = "url") -> DataFrame:
     """Same canonicalize→fingerprint→host kernel as the batch path
-    (operators/frontier.py) — pure column expressions, fully streamable."""
+    (operators/frontier.py) — pure column expressions, fully streamable.
+
+    Invalid URLs must drop BEFORE the stateful dedup (they'd otherwise
+    collapse into the xxhash64(NULL) state key and one would be emitted), so
+    filter on the materialized validity boolean — cheap under predicate
+    pushdown, unlike ``canon_url IS NOT NULL`` (see ``urls.with_canon``)."""
     return (
-        raw.withColumn("canon_url", U.canonicalize(F.col(url_col)))
-        .filter(F.col("canon_url").isNotNull())
-        .withColumn("url_hash", U.url_hash(F.col("canon_url")))
-        .withColumn("host", U.url_host(F.col("canon_url")))
+        U.with_canon(raw, url_col=url_col, hash_col="url_hash", valid_col="url_ok")
+        .filter(F.col("url_ok"))
+        .drop("url_ok")
     )
 
 

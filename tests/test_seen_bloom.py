@@ -31,13 +31,25 @@ def test_fp_rate_bounded(spark):
 
 
 def test_dedup_with_bloom_equals_exact(spark):
+    """Both physical regimes (broadcast bitsets / cogrouped segments) must
+    equal the plain anti-join exactly."""
     seen = _hashes(spark, 0, 3000)
     segs = S.build_segments(seen, n_segments=8)
     cand = _hashes(spark, 1500, 6000).withColumn("seq", F.col("url_hash") % 100)
-    got = S.dedup_with_bloom(cand, seen, segs, n_segments=8)
     exact = cand.join(seen, "url_hash", "left_anti")
-    assert got.count() == exact.count()
-    assert got.select("url_hash").exceptAll(exact.select("url_hash")).count() == 0
+    for regime in (True, False):
+        got = S.dedup_with_bloom(cand, seen, segs, n_segments=8, broadcast_bits=regime)
+        assert got.count() == exact.count(), regime
+        assert got.select("url_hash").exceptAll(exact.select("url_hash")).count() == 0, regime
+
+
+def test_broadcast_probe_matches_cogroup_probe(spark):
+    seen = _hashes(spark, 0, 4000)
+    segs = S.build_segments(seen, n_segments=8)
+    cand = _hashes(spark, 2000, 9000)
+    a = S.bloom_flag(cand, segs, n_segments=8).orderBy("url_hash").collect()
+    b = S.bloom_flag_broadcast(cand, segs, n_segments=8).orderBy("url_hash").collect()
+    assert [(r.url_hash, r.maybe_seen) for r in a] == [(r.url_hash, r.maybe_seen) for r in b]
 
 
 def test_bits_sizing():
