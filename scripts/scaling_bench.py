@@ -24,7 +24,7 @@ import bench
 cpus = os.environ["SPARK_GRAFT_CPUS"]
 spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=int(cpus))
 spark.sparkContext.setLogLevel("ERROR")
-ups, n = bench.frontier_throughput(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), repeat=5)
+ups, n = bench.frontier_throughput(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), repeat=3)
 print(json.dumps({{"cpus": cpus, "urls_per_sec": ups, "frontier_urls": n}}))
 spark.stop()
 """
@@ -37,7 +37,7 @@ def run_level(cpus: int, repo: str) -> dict:
         env=env,
         capture_output=True,
         text=True,
-        timeout=1200,
+        timeout=2400,
         check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])

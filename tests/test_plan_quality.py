@@ -1,0 +1,106 @@
+"""Physical-plan quality gates (SURVEY §4 — "is this the plan we'd want at
+100 TB?").
+
+These assert structural properties of `explain()` output rather than row
+values: filters reach the parquet scan, small dimensions broadcast, rank
+windows prune via WindowGroupLimit, and hot paths never fall back to
+``parse_url``'s per-component re-parse.  They pin the perf properties the
+bench relies on so a refactor can't silently regress the plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nrsr_crawler_spark.functions import urls as U
+from nrsr_crawler_spark.operators import frontier, politeness
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_incremental_cutoff_pushed_to_scan(spark):
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["p3_incremental_cutoff"](spark, SF))
+    assert "PushedFilters:" in plan
+    # both the date cutoff and the status predicate must reach the reader
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln][0]
+    assert "o_orderdate" in pushed and "o_orderstatus" in pushed, pushed
+
+
+def test_scan_prunes_columns(spark):
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["p3_incremental_cutoff"](spark, SF))
+    read = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    # 9-column orders table: only the 3 referenced columns are read
+    assert "o_orderkey" in read and "o_totalprice" not in read and "o_comment" not in read, read
+
+
+def test_seen_antijoin_broadcasts_small_side(spark):
+    from nrsr_crawler_spark.plans.flagship import frontier_schedule_dedup
+
+    plan = _plan(frontier_schedule_dedup(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+
+
+def test_missing_members_antijoin_broadcasts(spark):
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["j2_missing_members"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pop_budget_uses_window_group_limit(spark):
+    df = spark.range(0, 10000).select(
+        F.lit("www.nrsr.sk").alias("host"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.col("id").alias("seq"),
+        F.lit(0).alias("priority"),
+    )
+    plan = _plan(politeness.pop_budget(df, budget=10))
+    # rank-filter pruning must kick in at BOTH window levels (salted + final)
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+
+
+def test_hot_path_has_no_parse_url(spark):
+    raw = spark.range(0, 100).select(
+        F.concat(F.lit("https://www.nrsr.sk/p?id="), F.col("id")).alias("url"),
+        F.col("id").alias("seq"),
+        F.lit(0).alias("priority"),
+    )
+    plan = _plan(frontier.prepare_candidates(raw))
+    assert "ParseUrlEvaluator" not in plan and "parse_url" not in plan
+
+
+def test_prepare_candidates_single_shuffle(spark):
+    raw = spark.range(0, 100).select(
+        F.concat(F.lit("https://www.nrsr.sk/p?id="), F.col("id") % 10).alias("url"),
+        F.col("id").alias("seq"),
+        F.lit(0).alias("priority"),
+    )
+    plan = _plan(frontier.prepare_candidates(raw))
+    # in-batch exact dedup = one hash shuffle on url_hash, nothing else
+    # (each node renders twice in formatted explain: tree + detail section)
+    assert plan.count("+- Exchange") == 1, plan[:3000]
+
+
+def test_canon_stage_stays_in_wholestage_codegen(spark):
+    raw = spark.range(0, 100).select(
+        F.concat(F.lit("https://www.nrsr.sk/p?id="), F.col("id")).alias("url")
+    )
+    df = U.with_canon(raw, hash_col="url_hash")
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    # "Found 1 WholeStageCodegen subtrees" and no fallback markers
+    assert "WholeStageCodegen" in plan
+    assert "Project" in plan
