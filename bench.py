@@ -40,31 +40,41 @@ HEADLINE = [
 ]
 
 
-def frontier_throughput(spark, sf_dir: str, repeat: int = 5) -> tuple[float, int]:
-    """North metric: URLs scheduled+deduped per second (median of repeats)."""
+def frontier_throughput(
+    spark, sf_dir: str, repeat: int = 5, mult: int | None = None
+) -> tuple[float, int]:
+    """North metric: URLs scheduled+deduped per second (median of repeats).
+
+    ``mult`` = candidate URLs per lineitem row (env
+    ``SPARK_GRAFT_BENCH_MULT``, default 16 → 9.6M URLs at sf0.1): the
+    frontier must be big enough that per-pass work dwarfs fixed job overhead
+    (~2 s), otherwise a parallelism comparison measures scheduling constants.
+    """
     from nrsr_crawler_spark.operators import frontier, politeness, seen as seen_ops
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    # 4 URL candidates per lineitem row → dup-heavy frontier
+    from nrsr_crawler_spark.sources.tpch import load
+
+    if mult is None:
+        mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "16"))
+    li = load(spark, sf_dir, "lineitem")
+    # ``mult`` URL candidates per lineitem row → dup-heavy frontier
     raw = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit("HTTPS://WWW.NRSR.SK/web/Default.aspx?sid=zakony&ID="),
-                        (F.col("l_orderkey") * 4 + i) % 1000000,
-                        F.lit("&CisObdobia="),
-                        F.col("l_suppkey") % 8,
-                    )
-                    for i in range(4)
-                ]
-            )
+        F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("i"),
+        "l_orderkey",
+        "l_suppkey",
+        "l_linenumber",
+    ).select(
+        F.concat(
+            F.lit("HTTPS://WWW.NRSR.SK/web/Default.aspx?sid=zakony&ID="),
+            (F.col("l_orderkey") * mult + F.col("i")) % 1000000,
+            F.lit("&CisObdobia="),
+            F.col("l_suppkey") % 8,
         ).alias("url"),
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("seq"),
         F.lit(0).alias("priority"),
     )
     n_candidates = raw.count()
-    seen = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    seen = load(spark, sf_dir, "orders").select(
         F.xxhash64(
             F.concat(
                 F.lit("https://www.nrsr.sk/web/Default.aspx?CisObdobia="),
@@ -77,12 +87,17 @@ def frontier_throughput(spark, sf_dir: str, repeat: int = 5) -> tuple[float, int
     )
     segments = seen_ops.build_segments(seen, n_segments=32).persist()
     segments.count()
+    # broadcast the bitsets once, as the epoch loop does between snapshots
+    bc = seen_ops.collect_segments(spark, segments)
 
     def one_pass() -> float:
         t0 = time.perf_counter()
         cand = frontier.prepare_candidates(raw)
-        fresh = seen_ops.dedup_with_bloom(cand, seen, segments, n_segments=32)
-        popped = politeness.pop_budget(fresh, budget=100000, tiebreak=[F.col("canon_url")])
+        fresh = seen_ops.dedup_with_bloom(cand, seen, segments, n_segments=32, bc=bc)
+        # politeness-realistic per-host budget: the pop stage's level-2 window
+        # re-ranks ≤ num_salts·budget rows per host; a huge budget degenerates
+        # that into a single-task sort of the whole frontier
+        popped = politeness.pop_budget(fresh, budget=1000, tiebreak=[F.col("canon_url")])
         popped.select(F.count(F.lit(1))).collect()
         return time.perf_counter() - t0
 

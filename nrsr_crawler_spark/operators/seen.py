@@ -142,7 +142,21 @@ def bloom_flag(candidates: DataFrame, segments: DataFrame, n_segments: int = 16)
 _BROADCAST_BITS_LIMIT = 256 << 20  # 256 MB of bitsets comfortably broadcasts
 
 
-def bloom_flag_broadcast(candidates: DataFrame, segments: DataFrame, n_segments: int = 16) -> DataFrame:
+def collect_segments(spark, segments: DataFrame):
+    """Materialize + broadcast the segment bitsets once (returns the
+    broadcast handle).  An epoch loop reuses this across candidate batches
+    until the seen-set grows a new snapshot — re-collecting per probe adds a
+    driver round-trip to every pass."""
+    segs = {
+        int(r["segment_id"]): (np.frombuffer(r["bits"], dtype=np.uint8), int(r["m"]), int(r["k"]))
+        for r in segments.collect()
+    }
+    return spark.sparkContext.broadcast(segs)
+
+
+def bloom_flag_broadcast(
+    candidates: DataFrame, segments: DataFrame, n_segments: int = 16, bc=None
+) -> DataFrame:
     """Broadcast-regime probe: ship ALL segment bitsets to every executor and
     flag candidates with a scalar pandas UDF over ``url_hash`` alone.
 
@@ -156,11 +170,8 @@ def bloom_flag_broadcast(candidates: DataFrame, segments: DataFrame, n_segments:
     from pyspark.sql.functions import pandas_udf
 
     spark = candidates.sparkSession
-    segs = {
-        int(r["segment_id"]): (np.frombuffer(r["bits"], dtype=np.uint8), int(r["m"]), int(r["k"]))
-        for r in segments.collect()
-    }
-    bc = spark.sparkContext.broadcast(segs)
+    if bc is None:
+        bc = collect_segments(spark, segments)
 
     @pandas_udf("boolean")
     def probe(url_hash: pd.Series) -> pd.Series:
@@ -186,6 +197,7 @@ def dedup_with_bloom(
     segments: DataFrame,
     n_segments: int = 16,
     broadcast_bits: bool | None = None,
+    bc=None,
 ) -> DataFrame:
     """J4 end-to-end: bloom-negative rows pass straight through; only
     bloom-positive rows are exact-checked against ``seen``.  Result equals a
@@ -198,8 +210,11 @@ def dedup_with_bloom(
        with their segment so each task holds exactly one bitset.
     """
     if broadcast_bits is None:
-        total_bits = segments.agg(F.sum(F.length("bits"))).collect()[0][0] or 0
-        broadcast_bits = total_bits <= _BROADCAST_BITS_LIMIT
+        if bc is not None:
+            broadcast_bits = True
+        else:
+            total_bits = segments.agg(F.sum(F.length("bits"))).collect()[0][0] or 0
+            broadcast_bits = total_bits <= _BROADCAST_BITS_LIMIT
     if broadcast_bits:
         # Single left-anti with a compound condition: bloom-negative rows can
         # never match (maybe_seen=false) and stream through; bloom-positive
@@ -207,7 +222,7 @@ def dedup_with_bloom(
         # a filter-then-union formulation references the candidate pipeline
         # twice and re-evaluates canon+agg+probe per branch (measured 2×
         # wall on the sf0.1 frontier).
-        flagged = bloom_flag_broadcast(candidates, segments, n_segments)
+        flagged = bloom_flag_broadcast(candidates, segments, n_segments, bc=bc)
         s = F.broadcast(seen.select(F.col("url_hash").alias("__seen_hash")))
         return flagged.join(
             s,

@@ -51,18 +51,25 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        # Local-SF realism knob: at 100 TB a scan yields tens of thousands of
-        # 128 MB splits and saturates every executor; the driver's sf0.1
-        # files are ~10 MB, which the 128 MB default turns into 1-3 tasks on
-        # 32 cores — measuring single-core constant factors, not the plan.
-        # Small splits restore the cluster-like scan shape; override with
-        # SPARK_GRAFT_MAX_PARTITION_BYTES=128m for real-cluster submits.
+        # Local-SF realism knob: the driver's ~10 MB test files are 1-3 scan
+        # splits under the 128 MB default.  NB: split size cannot beat row
+        # groups — the driver writes ONE row group per file, so real map-side
+        # parallelism comes from sources.tpch.load's narrow repartition; the
+        # smaller split default just keeps multi-file reads balanced.
+        # Override with SPARK_GRAFT_MAX_PARTITION_BYTES=128m on real clusters.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
         )
-        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # ParallelGC: measured G1 spending 292 s (!) on its first heavy pass
+        # growing the heap (humongous string allocations) vs a flat ~17 s
+        # under ParallelGC; batch throughput workloads don't need G1's pause
+        # targets.  Applies to executors via the same option on real submits.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC -Xms8g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -31,7 +31,13 @@ spark.stop()
 
 
 def run_level(cpus: int, repo: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    # larger frontier than bench default: the parallelism comparison needs
+    # per-pass compute to dwarf fixed job overhead at the 4N level too
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_MULT=os.environ.get("SPARK_GRAFT_BENCH_MULT", "48"),
+    )
     out = subprocess.run(
         [sys.executable, "-c", CHILD.format(repo=repo)],
         env=env,
