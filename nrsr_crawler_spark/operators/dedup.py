@@ -168,13 +168,32 @@ def minhash_lsh_dedup(
     threshold_den: int = 2,
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → band → bucket join → exact Jaccard
-    verification of the LSH candidates only."""
+    verification of the LSH candidates ONLY.
+
+    Scale shape: the exact verification joins the candidate pairs back to
+    their own shingle sets — work ∝ Σ|shingles(candidate docs)|, never the
+    all-pairs shingle self-join (that quadratic join is what LSH exists to
+    avoid; see :func:`jaccard_pairs` for the capped-frequency variant when
+    you really want all pairs)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    exact = jaccard_pairs(df, id_col, text_col, n, threshold_num, threshold_den)
-    return cands.join(exact, ["id_a", "id_b"], "inner").select(
-        "id_a", "id_b", "common", "na", "nb"
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+    common = (
+        a_sh.join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .filter(
+            F.col("common") * threshold_den
+            >= (F.col("na") + F.col("nb") - F.col("common")) * threshold_num
+        )
+        .select("id_a", "id_b", "common", "na", "nb")
     )
 
 

@@ -27,11 +27,47 @@ def test_xxh64_matches_spark(spark):
         assert got[s] == xxh64_str(s), s
 
 
+MESSY = [
+    None,
+    "",
+    "not a url at all",
+    "ht tp://bad-scheme.sk/x",
+    "mailto:user@nrsr.sk",
+    "https://",
+    "https://user@www.nrsr.sk:8443/p?b=2&a=1#frag",
+    "https://www.nrsr.sk/redirect?u=http://other.sk/x&a=1",
+    "HTTP://WWW.NRSR.SK:80",
+]
+
+
 def test_canonicalize_parity(spark):
     df = spark.createDataFrame([(u,) for u in URLS], ["url"])
     got = [r[0] for r in df.select(U.canonicalize(F.col("url"))).collect()]
     exp = [U.canonicalize_py(u) for u in URLS]
     assert got == exp
+
+
+def test_with_canon_matches_column_form_and_py(spark):
+    """The hot-path stepwise transform, the Column expression, and the
+    Python mirror must agree — including on malformed input."""
+    urls = URLS + MESSY
+    df = spark.createDataFrame([(u, i) for i, u in enumerate(urls)], ["url", "i"])
+    stepwise = {
+        r["i"]: (r["canon_url"], r["host"])
+        for r in U.with_canon(df).collect()
+    }
+    column = {
+        r["i"]: (r["c"], r["h"])
+        for r in df.select(
+            "i",
+            U.canonicalize(F.col("url")).alias("c"),
+            U.url_host(F.col("url")).alias("h"),
+        ).collect()
+    }
+    for i, u in enumerate(urls):
+        assert stepwise[i][0] == column[i][0] == U.canonicalize_py(u), u
+        if stepwise[i][0] is not None:
+            assert stepwise[i][1] == column[i][1], u
 
 
 def test_canonicalize_semantics():
