@@ -102,6 +102,50 @@ def build_segments(
     return with_seg.groupBy("segment_id").applyInPandas(_build, schema=SEGMENTS_SCHEMA)
 
 
+def merge_segments(
+    segments: DataFrame,
+    new_hashes: DataFrame,
+    n_segments: int = 16,
+    m_bits: int = 1 << 16,
+    k: int = 7,
+) -> DataFrame:
+    """Incrementally fold a delta of ``url_hash`` keys into existing segment
+    bitsets (bitwise OR) — bit-identical to rebuilding from the union of key
+    sets, at delta cost instead of full-history cost.
+
+    This is how the epoch loop stays O(delta) per epoch: rebuilding segments
+    from the whole seen table is a full 10^10-row scan every epoch, while
+    Bloom bitsets OR-merge exactly (positions depend only on the key), so
+    only the newly enqueued keys need hashing.  Segments with no prior
+    bitset are built fresh; bitsets with no delta pass through unchanged.
+    """
+
+    def _merge(key, seg: pd.DataFrame, delta: pd.DataFrame) -> pd.DataFrame:
+        seg_id = int(key[0])
+        if seg.empty:
+            bits = np.zeros(m_bits // 8, dtype=np.uint8)
+            m, kk, n_keys = m_bits, k, 0
+        else:
+            bits = np.frombuffer(seg["bits"].iloc[0], dtype=np.uint8).copy()
+            m, kk, n_keys = int(seg["m"].iloc[0]), int(seg["k"].iloc[0]), int(seg["n_keys"].iloc[0])
+        if not delta.empty:
+            h = delta["url_hash"].to_numpy()
+            _set_bits(bits, _positions(h, m, kk))
+            n_keys += len(h)
+        return pd.DataFrame(
+            {"segment_id": [seg_id], "m": [m], "k": [kk], "n_keys": [n_keys], "bits": [bits.tobytes()]}
+        )
+
+    delta_seg = new_hashes.select("url_hash").withColumn(
+        "segment_id", segment_id(F.col("url_hash"), n_segments)
+    )
+    return (
+        segments.groupBy("segment_id")
+        .cogroup(delta_seg.groupBy("segment_id"))
+        .applyInPandas(_merge, schema=SEGMENTS_SCHEMA)
+    )
+
+
 def bloom_flag(candidates: DataFrame, segments: DataFrame, n_segments: int = 16) -> DataFrame:
     """Add ``maybe_seen boolean`` to candidates (column ``url_hash``).
 

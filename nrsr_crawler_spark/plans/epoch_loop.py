@@ -146,6 +146,7 @@ class CrawlEngine:
             self.enqueue_seeds(seeds)
 
         total_fetched = total_enqueued = total_items = 0
+        segments = None  # incremental bloom state, built once then OR-merged
         for _ in range(max_epochs):
             epoch = self.lake.last_committed() + 1
             enqueued = self.lake.read_all(self.spark, "frontier")
@@ -193,9 +194,14 @@ class CrawlEngine:
                 )
             # in-batch dedup: first-scheduled wins = min seq
             cand = frontier_ops.prepare_in_batch(cand)
-            # cross-epoch dedup (J4): bloom-pruned anti-join vs everything enqueued
+            # cross-epoch dedup (J4): bloom-pruned anti-join vs everything
+            # enqueued.  Segments are built ONCE (covers seeds or the resumed
+            # lake) then OR-merged with each epoch's delta — O(delta keys) per
+            # epoch, never a re-scan of the whole 10^10-key seen table.
             if self.use_bloom:
-                segments = seen_ops.build_segments(enqueued, self.n_segments)
+                if segments is None:
+                    segments = seen_ops.build_segments(enqueued, self.n_segments).persist()
+                    segments.count()
                 new = seen_ops.dedup_with_bloom(cand, enqueued, segments, self.n_segments)
             else:
                 new = cand.join(enqueued.select("url_hash"), "url_hash", "left_anti")
@@ -224,9 +230,19 @@ class CrawlEngine:
             total_fetched += n_popped
             total_enqueued += n_new
             total_items += n_items
+            if self.use_bloom and n_new > 0:
+                new_hashes = self.spark.read.parquet(
+                    self.lake.delta_path("frontier", epoch)
+                ).select("url_hash")
+                merged = seen_ops.merge_segments(segments, new_hashes, self.n_segments).persist()
+                merged.count()
+                segments.unpersist()
+                segments = merged
             batch.unpersist()
             fetched.unpersist()
             edges.unpersist()
+        if segments is not None:
+            segments.unpersist()
         return CrawlStats(epochs=self.lake.last_committed(), fetched=total_fetched, enqueued=total_enqueued, items=total_items)
 
     # -- final state ----------------------------------------------------------

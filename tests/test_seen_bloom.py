@@ -52,6 +52,29 @@ def test_broadcast_probe_matches_cogroup_probe(spark):
     assert [(r.url_hash, r.maybe_seen) for r in a] == [(r.url_hash, r.maybe_seen) for r in b]
 
 
+def test_merge_segments_equals_rebuild(spark):
+    """OR-merging a delta into existing bitsets must be bit-identical to
+    rebuilding from the union of keys (the epoch loop's O(delta) invariant)."""
+    first = _hashes(spark, 0, 3000)
+    delta = _hashes(spark, 3000, 4500)
+    base = S.build_segments(first, n_segments=8)
+    merged = {r.segment_id: r for r in S.merge_segments(base, delta, n_segments=8).collect()}
+    rebuilt = {r.segment_id: r for r in S.build_segments(first.unionByName(delta), n_segments=8).collect()}
+    assert set(merged) == set(rebuilt)
+    for sid, r in rebuilt.items():
+        assert merged[sid].bits == r.bits, sid
+        assert merged[sid].n_keys == r.n_keys, sid
+
+
+def test_merge_into_empty_segment(spark):
+    """Keys landing in a segment with no prior bitset get a fresh bitset."""
+    base = S.build_segments(_hashes(spark, 0, 8).filter("url_hash % 8 = 0"), n_segments=8)
+    delta = _hashes(spark, 0, 2000)
+    merged = S.merge_segments(base, delta, n_segments=8)
+    flagged = S.bloom_flag(delta, merged, n_segments=8)
+    assert flagged.filter("NOT maybe_seen").count() == 0  # zero false negatives
+
+
 def test_bits_sizing():
     m, k = S.bits_for(1_000_000, 0.01)
     assert 9_000_000 < m < 10_000_000
