@@ -112,6 +112,34 @@ def frontier_throughput(
     return n_candidates / med, n_candidates
 
 
+def crawl_throughput(spark) -> tuple[float, int, float]:
+    """End-to-end crawl-engine rate: drain a deterministic wide synthetic
+    site (seed → period lists → pagination → details/members) to fixpoint
+    through the full epoch loop — pop, fetch-join, mapInPandas parse, canon,
+    bloom dedup, lake commits.  Wide-and-shallow site so the run is a handful
+    of meaty epochs, not a long pagination chain of fixed epoch overheads."""
+    import tempfile
+
+    from nrsr_crawler_spark.plans.epoch_loop import CrawlEngine
+    from nrsr_crawler_spark.sources.synthetic_site import (
+        PAGES_SCHEMA,
+        SEED_URL,
+        generate_site,
+        site_rows,
+    )
+
+    site = generate_site(periods=8, pages_per_period=8, details_per_page=30, members_per_period=40)
+    pages = spark.createDataFrame(site_rows(site), PAGES_SCHEMA)
+    t0 = time.perf_counter()
+    eng = CrawlEngine(
+        spark, pages, tempfile.mkdtemp(prefix="nrsr_bench_") + "/lake",
+        budget_per_host=100000, num_salts=16, n_segments=16,
+    )
+    stats = eng.run(seeds=[SEED_URL])
+    dt = time.perf_counter() - t0
+    return stats.fetched / dt, stats.fetched, dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -124,11 +152,15 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).select(F.count(F.lit(1))).collect()  # warm (JIT, file listing)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).select(F.count(F.lit(1))).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):  # median-of-3: the sandbox VM's clock speed wanders
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).select(F.count(F.lit(1))).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     ups, n_urls = frontier_throughput(spark, sf_dir)
+    cps, n_pages, crawl_wall = crawl_throughput(spark)
 
     out = {
         "metric": "headline suite wall time (sf dir); north: urls_scheduled_per_sec",
@@ -138,6 +170,9 @@ def main() -> None:
         "sf": sf_dir,
         "urls_scheduled_per_sec": round(ups),
         "frontier_urls": n_urls,
+        "crawl_pages_per_sec": round(cps, 1),
+        "crawl_pages": n_pages,
+        "crawl_wall_sec": round(crawl_wall, 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     print(json.dumps(out))

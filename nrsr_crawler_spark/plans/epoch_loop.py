@@ -201,8 +201,17 @@ class CrawlEngine:
             if self.use_bloom:
                 if segments is None:
                     segments = seen_ops.build_segments(enqueued, self.n_segments).persist()
-                    segments.count()
-                new = seen_ops.dedup_with_bloom(cand, enqueued, segments, self.n_segments)
+                    seen_count = enqueued.count()
+                    # broadcast regime while the seen hash-set is broadcastable
+                    # (≲5M keys ≈ 40 MB); the partitioned cogroup regime takes
+                    # over beyond that — decided from the loop's own counter,
+                    # no extra per-epoch sizing job
+                    use_bcast = seen_count <= 5_000_000
+                    seg_bc = seen_ops.collect_segments(self.spark, segments) if use_bcast else None
+                new = seen_ops.dedup_with_bloom(
+                    cand, enqueued, segments, self.n_segments,
+                    broadcast_bits=use_bcast, bc=seg_bc,
+                )
             else:
                 new = cand.join(enqueued.select("url_hash"), "url_hash", "left_anti")
             new_delta = self._finish_frontier_cols(new)
@@ -235,7 +244,9 @@ class CrawlEngine:
                     self.lake.delta_path("frontier", epoch)
                 ).select("url_hash")
                 merged = seen_ops.merge_segments(segments, new_hashes, self.n_segments).persist()
-                merged.count()
+                seen_count += n_new
+                use_bcast = seen_count <= 5_000_000
+                seg_bc = seen_ops.collect_segments(self.spark, merged) if use_bcast else None
                 segments.unpersist()
                 segments = merged
             batch.unpersist()
