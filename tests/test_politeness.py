@@ -39,3 +39,41 @@ def test_budget_never_exceeded(spark):
     fr = _frontier(spark)
     counts = pop_budget(fr, budget=5).groupBy("host").count().collect()
     assert all(r["count"] <= 5 for r in counts)
+
+
+def test_pop_budget_matches_naive_randomized(spark):
+    """Fuzzed equivalence: random skew/priorities/duplicate seqs (ties broken
+    by url_hash as an explicit tiebreak), several budgets and salt counts —
+    the two-level decomposition must never diverge from the naive window."""
+    import random
+
+    rnd = random.Random(0xC0FFEE)
+    for trial in range(4):
+        n = rnd.choice([200, 1500, 4000])
+        n_hosts = rnd.choice([1, 2, 7])
+        budget = rnd.choice([1, 3, 29])
+        num_salts = rnd.choice([2, 16])
+        rows = [
+            (
+                f"h{rnd.randrange(n_hosts)}",
+                rnd.randrange(3),
+                rnd.randrange(n // 2),  # duplicate seqs → real ties
+                rnd.getrandbits(63),
+            )
+            for _ in range(n)
+        ]
+        fr = spark.createDataFrame(
+            rows, "host string, priority int, seq long, url_hash long"
+        )
+        tiebreak = [F.col("url_hash")]
+        got = pop_budget(
+            fr, budget=budget, num_salts=num_salts, tiebreak=tiebreak
+        ).select("host", "seq", "url_hash", "rk")
+        w = Window.partitionBy("host").orderBy(*(pop_order() + tiebreak))
+        naive = (
+            fr.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= budget)
+            .select("host", "seq", "url_hash", "rk")
+        )
+        diff = got.exceptAll(naive).count() + naive.exceptAll(got).count()
+        assert diff == 0, (trial, n, n_hosts, budget, num_salts)
