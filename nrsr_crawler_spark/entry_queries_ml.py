@@ -297,3 +297,65 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_features"] = multimodal_features
+
+
+# ---------------------------------------------------------------------------
+# north_rule tie-in: the frontier pass running OVER the image+caption
+# substrate — schedule photo fetches for image records whose phash hasn't
+# been computed yet (image_id space = the images_table id space; "already
+# decoded" = custkey % 3 == 0).  Same kernel as the flagship (canon →
+# xxhash64 → in-batch first-writer dedup → seen anti-join → politeness pop),
+# fully DuckDB-oracle-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "images_frontier_schedule",
+    """
+    WITH cand AS (
+        SELECT 'https://www.nrsr.sk/web/Dynamic/PoslanecPhoto.aspx?PoslanecID='
+                   || (c_custkey % 5000) || '&large=1' AS canon_url,
+               c_custkey AS seq
+        FROM customer
+    ), dedup AS (
+        SELECT canon_url, MIN(seq) AS seq FROM cand GROUP BY canon_url
+    ), fresh AS (
+        SELECT d.* FROM dedup d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey % 3 = 0 AND c.c_custkey < 300
+              AND 'https://www.nrsr.sk/web/Dynamic/PoslanecPhoto.aspx?PoslanecID='
+                      || (c.c_custkey % 5000) || '&large=1' = d.canon_url
+        )
+    )
+    SELECT canon_url, seq, rk FROM (
+        SELECT canon_url, seq,
+               row_number() OVER (ORDER BY seq DESC, canon_url) AS rk
+        FROM fresh
+    ) WHERE rk <= 50
+    """,
+)
+def images_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators import frontier, politeness
+
+    cust = load(spark, sf_dir, "customer")
+    raw = cust.select(
+        F.concat(
+            F.lit("HTTPS://WWW.NRSR.SK/web/Dynamic/PoslanecPhoto.aspx?large=1&PoslanecID="),
+            F.col("c_custkey") % 5000,
+            F.lit("#frag"),
+        ).alias("url"),
+        F.col("c_custkey").alias("seq"),
+        F.lit(0).alias("priority"),
+    )
+    cand = frontier.prepare_candidates(raw)
+    seen = cust.filter((F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") < 300)).select(
+        F.xxhash64(
+            F.concat(
+                F.lit("https://www.nrsr.sk/web/Dynamic/PoslanecPhoto.aspx?PoslanecID="),
+                F.col("c_custkey") % 5000,
+                F.lit("&large=1"),
+            )
+        ).alias("url_hash")
+    )
+    fresh = frontier.dedup_against_seen(cand, seen)
+    popped = politeness.pop_budget(fresh, budget=50, tiebreak=[F.col("canon_url")])
+    return popped.select("canon_url", "seq", "rk")
