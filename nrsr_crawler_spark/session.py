@@ -72,6 +72,9 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # COUNT(*) / MIN / MAX answered from parquet footer metadata — the
+        # epoch loop's per-epoch delta counts become metadata-only jobs
+        .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
