@@ -170,18 +170,58 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+def _lsh_oracle_sql(dim: int = 64, bits: int = 4, tables: int = 16, seed: int = 42, k: int = 5) -> str:
+    """Generate the DuckDB mirror of ``SIM.lsh_topk``: the integer plane
+    literals are emitted into the SQL (mechanical but exact — every dot
+    product is integer-valued, so bucket assignment is engine-independent;
+    see similarity.integer_planes)."""
+    parts = []
+    for t in range(tables):
+        planes = SIM.integer_planes(dim, bits, t, seed)
+        bucket = " + ".join(
+            "(CASE WHEN list_dot_product(v, [{vals}]) >= 0 THEN {w} ELSE 0 END)".format(
+                vals=", ".join(f"{float(x)}" for x in p), w=1 << j
+            )
+            for j, p in enumerate(planes)
+        )
+        parts.append(f"SELECT vec_id, {t} AS tbl, {bucket} AS bucket FROM qv")
+    buckets = "\n    UNION ALL\n    ".join(parts)
+    return f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v,
+               embedding::DOUBLE[] AS e
+        FROM embeddings
+    ),
+    buckets AS ({buckets}),
+    cands AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q JOIN buckets c USING (tbl, bucket)
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(a.e, b.e)
+                     / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))), 6) AS cos_sim
+        FROM cands JOIN qv a ON a.vec_id = query_id JOIN qv b ON b.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM sims
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_lsh_bucketed", _lsh_oracle_sql())
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only check: the plane literals make a SQL
-    oracle impractically large; exactness vs brute force is asserted in
+    """LSH-bucketed ANN with a full DuckDB oracle (plane literals emitted
+    into the SQL; recall vs brute force additionally asserted in
     tests/test_similarity_text.py::test_lsh_topk_recall)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.lsh_topk(emb, queries, dim=64, k=5, bits=4, tables=16).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     )
-
-
-QUERIES["ann_lsh_bucketed"] = ann_lsh_bucketed
 
 
 @query(
@@ -260,11 +300,24 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "images_table",
+    """
+    SELECT printf('img%010d', c_custkey) AS image_id,
+           'Poslanec ' || c_name || ' (7. obdobie)' AS caption,
+           1 AS psnr_ok, 1 AS lossless_ok, 1 AS caption_ok, 1 AS dims_ok, 1 AS phash_ok
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
 def images_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """input_hint image+caption table (rows-only: bytes can't be built in
-    SQL; per-row PSNR/caption invariants asserted in tests/test_images.py).
-    Captions derive from customer names for determinism."""
-    from nrsr_crawler_spark.sources.images import build_images
+    """input_hint image+caption table, hash-gated: the query encodes each
+    image (FIMG fake codec), decodes it back, and emits the per-row
+    input_hint invariants as integer columns whose expected value (1) the
+    DuckDB oracle derives from the same customer rows — if any decode/PSNR/
+    caption/dims/phash invariant breaks, the value hash mismatches.
+    Raw bytes can't be built in SQL; full byte-level round-trip additionally
+    asserted in tests/test_images.py."""
+    from nrsr_crawler_spark.sources.images import build_images, verify_images
 
     captions = (
         load(spark, sf_dir, "customer")
@@ -274,15 +327,34 @@ def images_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("Poslanec "), F.col("c_name"), F.lit(" (7. obdobie)")).alias("caption"),
         )
     )
-    return build_images(spark, captions).drop("bytes")
+    imgs = build_images(spark, captions)
+    ver = verify_images(imgs, captions)
+    return ver.join(captions, "image_id").select(
+        "image_id",
+        "caption",
+        (F.col("psnr_db") >= 40.0).cast("int").alias("psnr_ok"),
+        ((F.col("fmt") != "png") | F.col("exact")).cast("int").alias("lossless_ok"),
+        F.col("caption_ok").cast("int").alias("caption_ok"),
+        (F.col("w_ok") & F.col("h_ok")).cast("int").alias("dims_ok"),
+        F.col("phash_ok").cast("int").alias("phash_ok"),
+    )
 
 
-QUERIES["images_table"] = images_table
-
-
+@query(
+    "multimodal_features",
+    """
+    SELECT printf('img%010d', c_custkey) AS image_id,
+           1 AS decode_ok, 1 AS dims_ok, 1 AS stats_ok, 1 AS phash_ok,
+           1 AS resize_ok, 1 AS features_ok
+    FROM customer WHERE c_custkey <= 100
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract over the image table (rows-only)."""
-    from nrsr_crawler_spark.operators.multimodal import decode_stats
+    """Decode / resize / feature-extract over the image table, hash-gated:
+    each mapInPandas kernel's output is checked against the image table's
+    stored metadata and emitted as integer invariant columns the DuckDB
+    oracle mirrors (expected value 1 per row)."""
+    from nrsr_crawler_spark.operators.multimodal import decode_stats, extract_features, resize_images
     from nrsr_crawler_spark.sources.images import build_images
 
     captions = (
@@ -293,10 +365,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("caption"),
         )
     )
-    return decode_stats(build_images(spark, captions))
-
-
-QUERIES["multimodal_features"] = multimodal_features
+    imgs = build_images(spark, captions).persist()
+    stats = decode_stats(imgs)
+    resized = decode_stats(resize_images(imgs, out_h=16, out_w=16)).select(
+        "image_id", F.col("w").alias("rw"), F.col("h").alias("rh")
+    )
+    feats = extract_features(imgs, bins=16).select(
+        "image_id",
+        F.size("features").alias("n_feats"),
+        F.round(F.aggregate(F.col("features"), F.lit(0.0), lambda a, v: a + v), 3).alias("feat_sum"),
+    )
+    meta = imgs.select("image_id", F.col("w").alias("mw"), F.col("h").alias("mh"), F.col("phash").alias("mphash"))
+    return (
+        stats.join(meta, "image_id")
+        .join(resized, "image_id")
+        .join(feats, "image_id")
+        .select(
+            "image_id",
+            ((F.col("w") > 0) & (F.col("h") > 0)).cast("int").alias("decode_ok"),
+            ((F.col("w") == F.col("mw")) & (F.col("h") == F.col("mh"))).cast("int").alias("dims_ok"),
+            ((F.col("mean_px") >= 0) & (F.col("mean_px") <= 255) & (F.col("std_px") >= 0)).cast("int").alias("stats_ok"),
+            (F.col("phash") == F.col("mphash")).cast("int").alias("phash_ok"),
+            ((F.col("rw") == 16) & (F.col("rh") == 16)).cast("int").alias("resize_ok"),
+            ((F.col("n_feats") == 16) & (F.col("feat_sum") == 1.0)).cast("int").alias("features_ok"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -39,12 +39,31 @@ def random_planes(dim: int, bits: int, table: int, seed: int = 42) -> list[list[
     return [[float(v) for v in rng.standard_normal(dim)] for _ in range(bits)]
 
 
+def integer_planes(dim: int, bits: int, table: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic INTEGER hyperplanes in [-9, 9].
+
+    Why integers: bucket bit = sign(dot(quantized_vec, plane)).  With the
+    vector quantized to round(x*1000) every product and partial sum is an
+    integer exactly representable in a double, so the sign is identical in
+    ANY engine regardless of summation order — which makes the whole
+    bucketing (and hence the candidate set) DuckDB-oracle-exact.  Direction
+    distribution is close enough to uniform for LSH recall purposes."""
+    rng = np.random.default_rng(seed * 1000 + table)
+    return [[int(v) for v in rng.integers(-9, 10, size=dim)] for _ in range(bits)]
+
+
+def quantize_vec(vec: Column, scale: int = 1000) -> Column:
+    """array<double> → integer-valued doubles round(x*scale) (exact in any
+    engine; mirrors DuckDB ``list_transform(e, x -> round(x*scale))``)."""
+    return F.transform(vec, lambda x: F.round(x * scale))
+
+
 def plane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id of ``vec`` against literal planes — pure JVM
     expressions (zip_with dot product per plane)."""
     bucket = F.lit(0).cast("long")
     for j, p in enumerate(planes):
-        lit_plane = F.array(*[F.lit(v) for v in p])
+        lit_plane = F.array(*[F.lit(float(v)) for v in p])
         dot = F.aggregate(
             F.zip_with(vec, lit_plane, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
         )
@@ -90,14 +109,20 @@ def lsh_topk(
     sim_decimals: int = 6,
 ) -> DataFrame:
     """LSH-bucketed ANN: same output shape as bruteforce_topk, approximate
-    (rank within retrieved candidates)."""
+    (rank within retrieved candidates).
+
+    Bucketing uses :func:`integer_planes` over the quantized vector so the
+    candidate set is bit-identical across engines (see ``integer_planes``);
+    the final cosine runs on the ORIGINAL double-cast vector."""
     def bucketize(df: DataFrame, idc: str, vecc: str) -> DataFrame:
-        out = df.select(F.col(idc), _as_double(F.col(vecc)).alias("__v"))
+        out = df.select(F.col(idc), _as_double(F.col(vecc)).alias("__v")).withColumn(
+            "__q", quantize_vec(F.col("__v"))
+        )
         buckets = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("table"),
-                    plane_bucket(F.col("__v"), random_planes(dim, bits, t, seed)).alias("bucket"),
+                    plane_bucket(F.col("__q"), integer_planes(dim, bits, t, seed)).alias("bucket"),
                 )
                 for t in range(tables)
             ]
