@@ -27,7 +27,10 @@ HREF_RE = re.compile(r'<a href="([^"]*)"')
 PAYLOAD_RE = re.compile(r'<script id="payload" type="application/json">(.*?)</script>', re.S)
 IMG_RE = re.compile(r'<img id="photo" src="([^"]*)"')
 
-CHILDREN_SCHEMA = "parent_hash long, parent_seq long, parent_depth int, child_idx int, href string"
+CHILDREN_SCHEMA = (
+    "parent_hash long, parent_seq long, parent_rank int, parent_depth int, "
+    "child_idx int, href string"
+)
 ITEMS_SCHEMA = "url_hash long, canon_url string, payload string, image_id string"
 
 
@@ -37,21 +40,25 @@ def extract_children(fetched: DataFrame) -> DataFrame:
 
     def _gen(batches):
         for pdf in batches:
-            rows = {"parent_hash": [], "parent_seq": [], "parent_depth": [], "child_idx": [], "href": []}
+            rows = {
+                "parent_hash": [], "parent_seq": [], "parent_rank": [],
+                "parent_depth": [], "child_idx": [], "href": [],
+            }
             bodies = pdf["body"]
-            for h, s, d, body in zip(pdf["url_hash"], pdf["seq"], pdf["depth"], bodies):
+            for h, s, rk, d, body in zip(pdf["url_hash"], pdf["seq"], pdf["rk"], pdf["depth"], bodies):
                 if body is None:
                     continue
                 text = bytes(body).decode("utf-8", errors="replace")
                 for i, href in enumerate(HREF_RE.findall(text)):
                     rows["parent_hash"].append(h)
                     rows["parent_seq"].append(s)
+                    rows["parent_rank"].append(rk)
                     rows["parent_depth"].append(d)
                     rows["child_idx"].append(i)
                     rows["href"].append(href)
             yield pd.DataFrame(rows)
 
-    return fetched.select("url_hash", "seq", "depth", "body").mapInPandas(_gen, schema=CHILDREN_SCHEMA)
+    return fetched.select("url_hash", "seq", "rk", "depth", "body").mapInPandas(_gen, schema=CHILDREN_SCHEMA)
 
 
 def extract_items(fetched: DataFrame) -> DataFrame:

@@ -184,6 +184,10 @@ def bloom_flag(candidates: DataFrame, segments: DataFrame, n_segments: int = 16)
 
 
 _BROADCAST_BITS_LIMIT = 256 << 20  # 256 MB of bitsets comfortably broadcasts
+_BROADCAST_KEYS_LIMIT = 5_000_000  # beyond this, broadcasting the exact seen
+                                   # table (~40 MB hash relation at 5M longs)
+                                   # risks driver/executor OOM — use the
+                                   # partitioned regime
 
 
 def collect_segments(spark, segments: DataFrame):
@@ -247,9 +251,12 @@ def dedup_with_bloom(
     bloom-positive rows are exact-checked against ``seen``.  Result equals a
     plain anti-join (zero false negatives), at a fraction of the probe cost.
 
-    Two physical regimes, picked by total bitset size unless forced:
-     - broadcast (≲256 MB of bits): :func:`bloom_flag_broadcast` — no
-       shuffle; the common case up to ~10^8 seen keys;
+    Two physical regimes, picked (unless forced) from the segments'
+    metadata — total key count AND total bitset size, both O(n_segments)
+    driver-side reads, no scan of ``seen``:
+     - broadcast: :func:`bloom_flag_broadcast` — no shuffle; valid only
+       while the EXACT seen table is also broadcastable (the branch
+       broadcasts ``seen`` for the exact check), hence the key-count gate;
      - partitioned (10^10 scale): :func:`bloom_flag` cogroups candidates
        with their segment so each task holds exactly one bitset.
     """
@@ -257,8 +264,12 @@ def dedup_with_bloom(
         if bc is not None:
             broadcast_bits = True
         else:
-            total_bits = segments.agg(F.sum(F.length("bits"))).collect()[0][0] or 0
-            broadcast_bits = total_bits <= _BROADCAST_BITS_LIMIT
+            est = segments.agg(
+                F.sum("n_keys").alias("nk"), F.sum(F.length("bits")).alias("nb")
+            ).collect()[0]
+            broadcast_bits = (est["nk"] or 0) <= _BROADCAST_KEYS_LIMIT and (
+                est["nb"] or 0
+            ) <= _BROADCAST_BITS_LIMIT
     if broadcast_bits:
         # Single left-anti with a compound condition: bloom-negative rows can
         # never match (maybe_seen=false) and stream through; bloom-positive

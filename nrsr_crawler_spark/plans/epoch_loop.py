@@ -16,6 +16,13 @@ Determinism: every column written is a pure function of committed inputs —
 monotonically_increasing_id — so a killed run re-runs its last uncommitted
 epoch and converges to identical table contents (north_rule resume).
 
+``seq`` packing bound (hard invariant, guarded): at most 2^parent_bits
+popped parents per epoch and 2^child_bits links per page.  Beyond that the
+packed lineage would alias; with ``strict_seq`` (default) the engine raises
+loudly instead of silently degrading.  Pop order itself stays deterministic
+regardless (canon_url tiebreak), but reference-order certification assumes
+the bound.  Widen the bits via constructor args for pathological sites.
+
 Ordering equivalence with the reference (north_rule): with
 ``budget_per_host=1`` on a single-host site the pop order IS the reference's
 LIFO depth-first order (tests/test_crawl_golden.py asserts equality with the
@@ -24,21 +31,42 @@ seen set is provably identical (dedup is order-insensitive), and
 plans/replay.py recomputes the reference fetch order from the logged edge
 lineage for certification.
 
-Scale notes (10^10 frontier):
+Scale shape (10^10 frontier) — per-epoch work is O(|pending| + |delta|),
+never O(crawl history):
+  - the PENDING set (enqueued minus fetched) is maintained incrementally:
+    pop removes this epoch's batch, the new-candidates delta is appended,
+    and ``localCheckpoint`` truncates lineage each epoch — no re-union of
+    all historical deltas (that was O(history)·epochs);
+  - the SEEN set for the exact dedup check is maintained as an in-memory
+    union of per-epoch deltas, collapsed by ``localCheckpoint`` every
+    ``seen_collapse_every`` epochs — no parquet re-read per epoch;
   - pop is the two-level salted window (operators/politeness.py) — immune to
     single-host skew;
-  - the seen anti-join probe is bloom-pruned (operators/seen.py) so the
-    exact check only sees maybe-positives;
-  - per-epoch state is append-only deltas; at deploy scale these are Iceberg
-    appends with periodic compaction, and bloom segments update
-    incrementally instead of rebuilding (lake/table.py docstring).
+  - the seen anti-join probe is bloom-pruned (operators/seen.py); in the
+    broadcast regime (seen ≤ ``broadcast_max_keys``) the segment bitsets are
+    maintained DRIVER-SIDE: each epoch collects only the O(delta) new hashes,
+    ORs them into the numpy bitsets, destroys the old broadcast handle and
+    rebroadcasts — zero Spark jobs for filter maintenance.  Past the
+    threshold the partitioned cogroup regime takes over, OR-merging segment
+    bitsets distributively (O(delta) hashing) with the merged frame
+    localCheckpoint-ed so old segments can be unpersisted safely;
+  - bitsets are SIZED from the observed seen count (seen.bits_for) with a
+    geometric growth factor, and fully rebuilt when the key count outgrows
+    the sized capacity — the false-positive rate stays at the design target
+    instead of saturating (amortized O(n) over the crawl);
+  - per-epoch row counts ride on ``Observation`` metrics attached to the
+    delta writes — no extra read-back count jobs;
+  - at deploy scale the deltas are Iceberg appends with periodic compaction;
+    the partitioned-regime exact check becomes a storage-partitioned join
+    against the bucket-partitioned seen table (only maybe-positive segments
+    read) — the logic above this module is unchanged.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from nrsr_crawler_spark.functions import urls as U
@@ -55,8 +83,6 @@ FETCHLOG_SCHEMA = "url_hash long, canon_url string, seq long, depth int, pop_ran
 EDGES_SCHEMA = "parent_hash long, parent_seq long, child_idx int, url string, canon_url string, url_hash long"
 
 _SEQ_EPOCH_SHIFT = 40
-_SEQ_PARENT_BITS = 20
-_SEQ_CHILD_BITS = 20
 
 
 @dataclass
@@ -79,6 +105,13 @@ class CrawlEngine:
         n_segments: int = 16,
         use_bloom: bool = True,
         base_url: str = "https://www.nrsr.sk/web/",
+        bloom_fp: float = 1e-4,
+        bloom_growth: int = 8,
+        broadcast_max_keys: int = 5_000_000,
+        seen_collapse_every: int = 16,
+        strict_seq: bool = True,
+        seq_parent_bits: int = 20,
+        seq_child_bits: int = 20,
     ):
         self.spark = spark
         self.lake = EpochLake(lake_root)
@@ -88,6 +121,18 @@ class CrawlEngine:
         self.n_segments = n_segments
         self.use_bloom = use_bloom
         self.base_url = base_url
+        self.bloom_fp = bloom_fp
+        self.bloom_growth = bloom_growth
+        self.broadcast_max_keys = broadcast_max_keys
+        self.seen_collapse_every = seen_collapse_every
+        self.strict_seq = strict_seq
+        self.seq_parent_bits = seq_parent_bits
+        self.seq_child_bits = seq_child_bits
+        if seq_parent_bits + seq_child_bits > _SEQ_EPOCH_SHIFT:
+            raise ValueError(
+                f"seq_parent_bits + seq_child_bits must fit below the epoch "
+                f"shift ({_SEQ_EPOCH_SHIFT} bits)"
+            )
         # page table keyed by canonical fingerprint (the deterministic "server")
         pages_path = str(self.lake.root / "pages")
         pages.withColumn("page_canon", U.canonicalize(F.col("url"))).withColumn(
@@ -97,10 +142,18 @@ class CrawlEngine:
 
     # -- helpers -------------------------------------------------------------
     def _child_seq(self, epoch: int):
+        """Packed child seq: (epoch, parent pop rank, child_idx).
+
+        The parent component is the parent's deterministic pop rank within
+        this epoch (1-based ``rk`` from politeness.pop_budget), NOT a mod of
+        its own packed seq — so in-batch "min seq wins" prefers the child of
+        the earliest-popped parent, mirroring the sequential reference where
+        the first parent to schedule a URL claims it.  Both components are
+        guarded against overflow (strict_seq)."""
         return (
             (F.lit(epoch + 1).cast("long") * (1 << _SEQ_EPOCH_SHIFT))
-            + (F.pmod(F.col("parent_seq"), F.lit(1 << _SEQ_PARENT_BITS)) * (1 << _SEQ_CHILD_BITS))
-            + F.least(F.col("child_idx"), F.lit((1 << _SEQ_CHILD_BITS) - 1))
+            + (F.col("parent_rank").cast("long") - 1) * (1 << self.seq_child_bits)
+            + F.least(F.col("child_idx"), F.lit((1 << self.seq_child_bits) - 1))
         )
 
     def _finish_frontier_cols(self, df: DataFrame) -> DataFrame:
@@ -138,6 +191,86 @@ class CrawlEngine:
         n = delta.count()
         self.lake.commit(0, {"kind": "seed", "enqueued": n, "popped": 0, "items": 0, "edges": 0})
 
+    # -- bloom state ----------------------------------------------------------
+    def _bloom_params(self, n_keys: int) -> tuple[int, int, int]:
+        """(per-segment m_bits, k, capacity_keys) sized for ``n_keys`` keys
+        with geometric headroom — the filter holds its design FP rate until
+        the seen set outgrows ``capacity_keys`` and triggers a rebuild."""
+        capacity = max(n_keys, 1024) * self.bloom_growth
+        per_seg = max(capacity // self.n_segments, 64)
+        m_bits, k = seen_ops.bits_for(per_seg, self.bloom_fp)
+        # byte-align so tobytes()/frombuffer round-trips exactly
+        m_bits = (m_bits + 7) // 8 * 8
+        return m_bits, k, capacity
+
+    def _build_bloom(self, seen: DataFrame, n_keys: int) -> None:
+        """(Re)build segment bitsets sized for the current seen set.
+
+        Broadcast regime: distributed build job, bitsets collected once and
+        kept as driver-side numpy arrays + a broadcast handle.  Partitioned
+        regime: bitsets stay distributed (localCheckpoint-ed DataFrame)."""
+        m_bits, k, capacity = self._bloom_params(n_keys)
+        self._bloom_capacity = capacity
+        segs = seen_ops.build_segments(seen, self.n_segments, m_bits=m_bits, k=k)
+        self._use_bcast = n_keys <= self.broadcast_max_keys
+        if self._use_bcast:
+            if self._seg_bc is not None:
+                self._seg_bc.destroy()
+            import numpy as np
+
+            self._seg_arrays = {
+                int(r["segment_id"]): (np.frombuffer(r["bits"], dtype=np.uint8).copy(), int(r["m"]), int(r["k"]))
+                for r in segs.collect()
+            }
+            self._seg_bc = self.spark.sparkContext.broadcast(
+                {s: (a, m, kk) for s, (a, m, kk) in self._seg_arrays.items()}
+            )
+            if self._segments is not None:
+                self._segments.unpersist()
+                self._segments = None
+        else:
+            old = self._segments
+            self._segments = segs.localCheckpoint()
+            if old is not None:
+                old.unpersist()
+            if self._seg_bc is not None:
+                self._seg_bc.destroy()
+                self._seg_bc = None
+                self._seg_arrays = None
+
+    def _merge_bloom(self, new_hashes: DataFrame, seen: DataFrame, seen_count: int) -> None:
+        """Fold this epoch's new keys into the filter at O(delta) cost, or
+        rebuild (resize) when the seen set outgrew the sized capacity."""
+        if seen_count > self._bloom_capacity or (self._use_bcast and seen_count > self.broadcast_max_keys):
+            self._build_bloom(seen, seen_count)
+            return
+        if self._use_bcast:
+            # driver-side OR: collect only the delta hashes (O(n_new)),
+            # update the arrays, destroy the stale broadcast, rebroadcast.
+            import numpy as np
+
+            hs = np.array([r[0] for r in new_hashes.select("url_hash").collect()], dtype=np.int64)
+            seg_ids = (hs % np.int64(self.n_segments) + self.n_segments) % np.int64(self.n_segments)
+            for seg in np.unique(seg_ids):
+                entry = self._seg_arrays.get(int(seg))
+                if entry is None:
+                    m_bits, k, _ = self._bloom_params(self._bloom_capacity // self.bloom_growth)
+                    entry = (np.zeros(m_bits // 8, dtype=np.uint8), m_bits, k)
+                    self._seg_arrays[int(seg)] = entry
+                bits, m, k = entry
+                mask = seg_ids == seg
+                seen_ops._set_bits(bits, seen_ops._positions(hs[mask], m, k))
+            self._seg_bc.destroy()
+            self._seg_bc = self.spark.sparkContext.broadcast(
+                {s: (a, m, kk) for s, (a, m, kk) in self._seg_arrays.items()}
+            )
+        else:
+            merged = seen_ops.merge_segments(
+                self._segments, new_hashes, self.n_segments
+            ).localCheckpoint()  # materialize BEFORE dropping the old state
+            self._segments.unpersist()
+            self._segments = merged
+
     # -- the loop ------------------------------------------------------------
     def run(self, seeds: list[str] | None = None, max_epochs: int = 100000) -> CrawlStats:
         if self.lake.last_committed() < 0:
@@ -145,16 +278,31 @@ class CrawlEngine:
                 raise ValueError("fresh lake needs seeds")
             self.enqueue_seeds(seeds)
 
+        # one-time state build: O(committed history) on resume, O(seeds) fresh.
+        frontier_all = self.lake.read_all(self.spark, "frontier")
+        fetched_log = self.lake.read_all(
+            self.spark, "fetch_log", schema=FETCHLOG_SCHEMA + ", epoch int"
+        )
+        pending = frontier_all.drop("epoch").join(
+            fetched_log.select("url_hash"), "url_hash", "left_anti"
+        ).localCheckpoint()
+        seen = frontier_all.select("url_hash").localCheckpoint()
+        seen_count = seen.count()
+        self._segments = None
+        self._seg_bc = None
+        self._seg_arrays = None
+        self._use_bcast = True
+        if self.use_bloom:
+            self._build_bloom(seen, seen_count)
+        epochs_since_collapse = 0
+
         total_fetched = total_enqueued = total_items = 0
-        segments = None  # incremental bloom state, built once then OR-merged
+        parent_cap = 1 << self.seq_parent_bits
+        child_cap = 1 << self.seq_child_bits
         for _ in range(max_epochs):
             epoch = self.lake.last_committed() + 1
-            enqueued = self.lake.read_all(self.spark, "frontier")
-            fetched_log = self.lake.read_all(self.spark, "fetch_log", schema=FETCHLOG_SCHEMA + ", epoch int")
-            active = enqueued.join(fetched_log.select("url_hash"), "url_hash", "left_anti")
-
             batch = politeness.pop_budget(
-                active, budget=self.budget, num_salts=self.num_salts, tiebreak=[F.col("canon_url")]
+                pending, budget=self.budget, num_salts=self.num_salts, tiebreak=[F.col("canon_url")]
             ).persist()
             n_popped = batch.count()
             if n_popped == 0:
@@ -194,44 +342,58 @@ class CrawlEngine:
                 )
             # in-batch dedup: first-scheduled wins = min seq
             cand = frontier_ops.prepare_in_batch(cand)
-            # cross-epoch dedup (J4): bloom-pruned anti-join vs everything
-            # enqueued.  Segments are built ONCE (covers seeds or the resumed
-            # lake) then OR-merged with each epoch's delta — O(delta keys) per
-            # epoch, never a re-scan of the whole 10^10-key seen table.
+            # cross-epoch dedup (J4): bloom-pruned anti-join vs the seen set
             if self.use_bloom:
-                if segments is None:
-                    segments = seen_ops.build_segments(enqueued, self.n_segments).persist()
-                    seen_count = enqueued.count()
-                    # broadcast regime while the seen hash-set is broadcastable
-                    # (≲5M keys ≈ 40 MB); the partitioned cogroup regime takes
-                    # over beyond that — decided from the loop's own counter,
-                    # no extra per-epoch sizing job
-                    use_bcast = seen_count <= 5_000_000
-                    seg_bc = seen_ops.collect_segments(self.spark, segments) if use_bcast else None
                 new = seen_ops.dedup_with_bloom(
-                    cand, enqueued, segments, self.n_segments,
-                    broadcast_bits=use_bcast, bc=seg_bc,
+                    cand, seen, self._segments, self.n_segments,
+                    broadcast_bits=self._use_bcast, bc=self._seg_bc,
                 )
             else:
-                new = cand.join(enqueued.select("url_hash"), "url_hash", "left_anti")
+                new = cand.join(seen, "url_hash", "left_anti")
             new_delta = self._finish_frontier_cols(new)
 
             items = parse_ops.extract_items(fetched)
 
+            # writes; counts + the seq-packing overflow guards ride on
+            # Observation metrics instead of separate read-back count jobs
+            obs_fetch = Observation()
             self.lake.write_delta("fetch_log", batch.select(
                 "url_hash", "canon_url", "seq", "depth", F.col("rk").alias("pop_rank")
-            ), epoch)
+            ).observe(obs_fetch, F.max("pop_rank").alias("max_rk")), epoch)
+            obs_edges = Observation()
             self.lake.write_delta(
                 "edges",
-                edges.select("parent_hash", "parent_seq", "child_idx", "url", "canon_url", "url_hash"),
+                edges.select(
+                    "parent_hash", "parent_seq", "child_idx", "url", "canon_url", "url_hash"
+                ).observe(obs_edges, F.count(F.lit(1)).alias("n"), F.max("child_idx").alias("max_child")),
                 epoch,
             )
-            self.lake.write_delta("frontier", new_delta, epoch)
-            self.lake.write_delta("items", items, epoch)
-
-            n_new = self.spark.read.parquet(self.lake.delta_path("frontier", epoch)).count()
-            n_items = self.spark.read.parquet(self.lake.delta_path("items", epoch)).count()
-            n_edges = self.spark.read.parquet(self.lake.delta_path("edges", epoch)).count()
+            obs_frontier = Observation()
+            self.lake.write_delta(
+                "frontier", new_delta.observe(obs_frontier, F.count(F.lit(1)).alias("n")), epoch
+            )
+            obs_items = Observation()
+            self.lake.write_delta(
+                "items", items.observe(obs_items, F.count(F.lit(1)).alias("n")), epoch
+            )
+            n_edges = int(obs_edges.get["n"])
+            max_child = obs_edges.get["max_child"]
+            n_new = int(obs_frontier.get["n"])
+            n_items = int(obs_items.get["n"])
+            if self.strict_seq:
+                max_rk = int(obs_fetch.get["max_rk"])
+                if max_rk > parent_cap:
+                    raise RuntimeError(
+                        f"epoch {epoch}: pop rank {max_rk} exceeds the "
+                        f"2^{self.seq_parent_bits} seq-packing bound; raise "
+                        f"seq_parent_bits or lower budget_per_host (lineage "
+                        f"seq would alias)"
+                    )
+                if max_child is not None and int(max_child) >= child_cap:
+                    raise RuntimeError(
+                        f"epoch {epoch}: child_idx {int(max_child)} exceeds the "
+                        f"2^{self.seq_child_bits} seq-packing bound; raise seq_child_bits"
+                    )
             self.lake.commit(
                 epoch,
                 {"kind": "crawl", "popped": n_popped, "enqueued": n_new, "items": n_items, "edges": n_edges},
@@ -239,21 +401,39 @@ class CrawlEngine:
             total_fetched += n_popped
             total_enqueued += n_new
             total_items += n_items
-            if self.use_bloom and n_new > 0:
-                new_hashes = self.spark.read.parquet(
-                    self.lake.delta_path("frontier", epoch)
-                ).select("url_hash")
-                merged = seen_ops.merge_segments(segments, new_hashes, self.n_segments).persist()
+
+            # incremental state update — O(|pending| + delta), committed
+            # content read back from the delta just written (no recompute)
+            popped_keys = batch.select("url_hash")
+            if n_new > 0:
+                committed_new = self.spark.read.parquet(self.lake.delta_path("frontier", epoch))
+                next_pending = pending.join(popped_keys, "url_hash", "left_anti").unionByName(
+                    committed_new
+                ).localCheckpoint()
+                new_hashes = committed_new.select("url_hash")
                 seen_count += n_new
-                use_bcast = seen_count <= 5_000_000
-                seg_bc = seen_ops.collect_segments(self.spark, merged) if use_bcast else None
-                segments.unpersist()
-                segments = merged
+                next_seen = seen.unionByName(new_hashes)
+                epochs_since_collapse += 1
+                if epochs_since_collapse >= self.seen_collapse_every:
+                    next_seen = next_seen.localCheckpoint()
+                    epochs_since_collapse = 0
+                seen = next_seen
+                if self.use_bloom:
+                    self._merge_bloom(new_hashes, seen, seen_count)
+            else:
+                next_pending = pending.join(popped_keys, "url_hash", "left_anti").localCheckpoint()
+            old_pending = pending
+            pending = next_pending
+            old_pending.unpersist()
             batch.unpersist()
             fetched.unpersist()
             edges.unpersist()
-        if segments is not None:
-            segments.unpersist()
+        pending.unpersist()
+        if self._segments is not None:
+            self._segments.unpersist()
+        if self._seg_bc is not None:
+            self._seg_bc.destroy()
+            self._seg_bc = None
         return CrawlStats(epochs=self.lake.last_committed(), fetched=total_fetched, enqueued=total_enqueued, items=total_items)
 
     # -- final state ----------------------------------------------------------
