@@ -31,6 +31,19 @@ DEFAULT_PORTS = {"http": 80, "https": 443}
 
 _SCHEME_RE = r"^[a-z][a-z0-9+.\-]*$"
 
+_TMP_COLS = (
+    "__loc", "__len", "__scheme", "__rest", "__qsplit", "__authpath", "__query",
+    "__auth", "__path", "__hostport", "__host", "__port", "__hostout", "__sq",
+    "__valid",
+)
+
+# Bracketed (IPv6-literal) authorities are rejected as invalid in ALL THREE
+# canon implementations: the char-scan column form cannot split host:port
+# inside brackets without a regex in the hot path, and the crawl domain
+# (www.nrsr.sk) never emits them — so the consistent, cheap choice is
+# canon=NULL for 'https://[::1]/x' everywhere (parity-tested in
+# tests/test_urls.py with IPv6 entries in MESSY).
+
 
 def with_canon(
     df,
@@ -62,6 +75,12 @@ def with_canon(
     filter on that boolean: its expression references each intermediate only
     once, so the pushed-down predicate stays linear.
     """
+    clash = set(df.columns) & set(_TMP_COLS)
+    if clash:
+        raise ValueError(
+            f"with_canon temp column collision: {sorted(clash)} already exist "
+            f"on the input DataFrame (rename them first)"
+        )
     u = F.col(url_col)
     dp = F.when(F.col("__scheme") == "http", F.lit(80)).when(
         F.col("__scheme") == "https", F.lit(443)
@@ -124,6 +143,7 @@ def with_canon(
                 ),
                 "__valid": (F.col("__loc") > 0)
                 & (F.col("__host") != "")
+                & ~F.col("__auth").contains("[")
                 & F.col("__scheme").rlike(_SCHEME_RE),
             }
         )
@@ -189,7 +209,7 @@ def canonicalize(url: Column) -> Column:
         F.concat(host, F.lit(":"), port.cast("string")),
     ).otherwise(host)
     sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
-    valid = (loc > 0) & (host != "") & scheme.rlike(_SCHEME_RE)
+    valid = (loc > 0) & (host != "") & ~auth.contains("[") & scheme.rlike(_SCHEME_RE)
     return F.when(~valid, F.lit(None).cast("string")).otherwise(
         F.concat(
             scheme,
@@ -214,6 +234,8 @@ def canonicalize_py(url: str | None) -> str | None:
     except ValueError:
         return None
     if not p.scheme or not p.hostname:
+        return None
+    if "[" in p.netloc:  # bracketed IPv6 authority: invalid in all impls
         return None
     scheme = p.scheme.lower()
     host = (p.hostname or "").lower()
@@ -245,7 +267,9 @@ def url_host(url: Column) -> Column:
     )
     auth = F.substring_index(F.substring_index(auth, "?", 1), "@", -1)
     h = F.lower(F.substring_index(auth, ":", 1))
-    return F.when((loc == 0) | (h == ""), F.lit(None).cast("string")).otherwise(h)
+    return F.when(
+        (loc == 0) | (h == "") | auth.contains("["), F.lit(None).cast("string")
+    ).otherwise(h)
 
 
 def url_query_param(url: Column, key: str) -> Column:

@@ -14,10 +14,15 @@ logic instead of per-item Mongo round-trips:
 
 At scale this is exactly Iceberg's ``MERGE INTO target USING batch ON keys``
 (row-level-delete table) plus an ``INSERT INTO archived`` of the matched+
-changed old rows; here the same semantics are computed with one full-outer
-join so it runs on plain parquet too.  The batch side is deduplicated on the
-natural key first (last writer in the batch wins, matching the sequential
-pipeline where later items overwrite earlier ones).
+changed old rows.  The classification join is batch→current LEFT (output and
+shuffle ∝ batch, with matched-key pruning on the store side at deploy);
+``upserts``/``archived``/``actions`` are all batch-sized.  Only the
+``merged`` full-store view touches every current row — and it is LAZY (an
+anti-join of the store against the batch-sized upsert keys plus a union), so
+callers that land the result as a MERGE/delta write ``upserts`` and never
+materialize it: write volume ∝ batch size, not store size.  The batch side
+is deduplicated on the natural key first (last writer in the batch wins,
+matching the sequential pipeline where later items overwrite earlier ones).
 """
 
 from __future__ import annotations
@@ -49,9 +54,10 @@ NATURAL_KEYS: dict[str, tuple[str, ...]] = {
 
 
 class MergeResult(NamedTuple):
-    merged: DataFrame     # new state of the store
+    merged: DataFrame     # new state of the store (lazy full view; see module doc)
     archived: DataFrame   # old versions of changed rows (append to archive)
     actions: DataFrame    # key columns + action ∈ {insert, update, unchanged}
+    upserts: DataFrame    # the insert+update rows — the Iceberg MERGE payload
 
 
 def natural_keys_for(item_type: str) -> tuple[str, ...]:
@@ -94,27 +100,25 @@ def merge_upsert(
     cur = row_hash(current, keys)
     new = row_hash(batch, keys)
 
-    joined = new.alias("n").join(cur.alias("c"), on=keys, how="full_outer")
+    # classification: batch LEFT current — output (and, with Iceberg
+    # matched-key pruning, the store-side read) is ∝ batch size.  Rows only
+    # in ``current`` never enter this join; they survive via the anti-join in
+    # the ``merged`` view below.
+    joined = new.alias("n").join(cur.alias("c"), on=keys, how="left")
     action = (
-        F.when(F.col("n.__vhash").isNull(), F.lit("keep"))          # only in current
-        .when(F.col("c.__vhash").isNull(), F.lit("insert"))
+        F.when(F.col("c.__vhash").isNull(), F.lit("insert"))
         .when(F.col("n.__vhash") == F.col("c.__vhash"), F.lit("unchanged"))
         .otherwise(F.lit("update"))
     )
     classified = joined.withColumn("__action", action)
 
     value_cols = [c for c in current.columns if c not in keys]
-    merged = classified.select(
-        *keys,
-        *[
-            F.when(F.col("__action").isin("insert", "update"), F.col(f"n.{c}"))
-            .otherwise(F.col(f"c.{c}"))
-            .alias(c)
-            for c in value_cols
-        ],
+    upserts = classified.filter(F.col("__action").isin("insert", "update")).select(
+        *keys, *[F.col(f"n.{c}").alias(c) for c in value_cols]
     )
     archived = classified.filter(F.col("__action") == "update").select(
         *keys, *[F.col(f"c.{c}").alias(c) for c in value_cols]
     )
-    actions = classified.filter(F.col("__action") != "keep").select(*keys, F.col("__action").alias("action"))
-    return MergeResult(merged=merged, archived=archived, actions=actions)
+    actions = classified.select(*keys, F.col("__action").alias("action"))
+    merged = current.join(upserts.select(*keys), on=keys, how="left_anti").unionByName(upserts)
+    return MergeResult(merged=merged, archived=archived, actions=actions, upserts=upserts)

@@ -37,7 +37,17 @@ MESSY = [
     "https://user@www.nrsr.sk:8443/p?b=2&a=1#frag",
     "https://www.nrsr.sk/redirect?u=http://other.sk/x&a=1",
     "HTTP://WWW.NRSR.SK:80",
+    # bracketed IPv6 authorities: canon NULL in all three implementations
+    "https://[::1]:8080/x",
+    "http://[2001:db8::1]/path?a=1",
+    "https://user@[::1]/x",
 ]
+
+
+def test_with_canon_rejects_tmp_column_collision(spark):
+    df = spark.createDataFrame([("https://a.sk/x", "boom")], ["url", "__host"])
+    with pytest.raises(ValueError, match="temp column collision"):
+        U.with_canon(df)
 
 
 def test_canonicalize_parity(spark):
