@@ -414,3 +414,6 @@ import nrsr_crawler_spark.entry_queries_ml  # noqa: E402,F401
 # remaining §2 checklist rows (A3/A4/F7/S6/robots/U3/J5/O2)
 import nrsr_crawler_spark.entry_queries_ext  # noqa: E402,F401
 import nrsr_crawler_spark.entry_queries_stream  # noqa: E402,F401
+
+# typed item extraction end-to-end (HTML → parse → fold → keyed merge)
+import nrsr_crawler_spark.entry_queries_items  # noqa: E402,F401

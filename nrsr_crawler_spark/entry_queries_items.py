@@ -1,0 +1,165 @@
+"""Typed item extraction queries (SURVEY §2.10 end-to-end): reference-shaped
+HTML pages built from TPC-H columns → page bytes → mapInPandas parse →
+ItemLoader folds → (for the merge query) the natural-key upsert sink — while
+the DuckDB oracle derives the EXPECTED typed rows relationally from the same
+columns.  A hash match certifies the whole pipeline: markup generation,
+regex field projection, positional slicing + club-header carry, MapCompose
+cleaners, TakeFirst/Join folds, date parsing, and merge classification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nrsr_crawler_spark.entry_queries import query
+from nrsr_crawler_spark.operators import merge_sink, parse_typed as PT
+from nrsr_crawler_spark.sources import typed_pages as TP
+from nrsr_crawler_spark.sources.tpch import load
+
+_URL = "https://www.nrsr.sk/web/"
+
+
+@query(
+    "items_member_fold",
+    """
+    SELECT 'member' AS type,
+           c_custkey AS external_id,
+           'F' || (c_custkey % 100) AS forename,
+           'S' || c_custkey AS surname,
+           CASE WHEN c_custkey % 3 = 1 THEN 'Ing.'
+                WHEN c_custkey % 3 = 2 THEN 'Ing. PhD.'
+                ELSE '' END AS title,
+           'member' || c_custkey || '@nrsr.sk' AS email,
+           make_timestamp(1950 + c_custkey % 40, c_custkey % 12 + 1, c_custkey % 28 + 1, 12, 0, 0) AS born,
+           'slovenská' AS nationality,
+           c_custkey % 8 + 1 AS period_num,
+           'https://www.nrsr.sk/web/Default.aspx?sid=poslanci/poslanec&PoslanecID='
+               || c_custkey || '&CisObdobia=' || (c_custkey % 8 + 1) AS url
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def items_member_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member pages → MemberItem rows (members.py:79-143): TakeFirst ids,
+    Join-folded multi-valued title/email (with filter_mailto/whitespace
+    MapCompose), F7 noon-normalized Slovak birth date."""
+    pages = TP.member_pages(load(spark, sf_dir, "customer"), max_key=300)
+    return PT.fold_member(PT.extract_member_raw(pages))
+
+
+@query(
+    "items_voting_votes",
+    """
+    WITH v AS (
+        SELECT l_orderkey AS ext,
+               l_orderkey * 10 + l_linenumber AS mid,
+               (['Z','P','?','N','0'])[(l_linenumber % 5) + 1] AS vote,
+               'Klub ' || (l_suppkey % 4) AS club
+        FROM lineitem WHERE l_orderkey <= 300
+    ),
+    vs AS (
+        SELECT ext, COUNT(*) AS n_votes,
+               string_agg(mid || '=' || vote, ';' ORDER BY mid) AS votes_str
+        FROM v GROUP BY ext
+    ),
+    cl AS (
+        SELECT ext, club, string_agg(mid, '|' ORDER BY mid) AS mids
+        FROM v GROUP BY ext, club
+    ),
+    cs AS (
+        SELECT ext, string_agg(club || ':' || mids, ';' ORDER BY club) AS clubs_str
+        FROM cl GROUP BY ext
+    )
+    SELECT 'voting' AS type,
+           ext AS external_id,
+           ext % 50 + 1 AS session_num,
+           ext % 997 AS voting_num,
+           make_timestamp(ext % 10 + 2010, ext % 12 + 1, ext % 28 + 1, ext % 24, ext % 60, ext % 59) AS "datetime",
+           CASE WHEN ext % 3 = 0 THEN 'Návrh prešiel'
+                WHEN ext % 3 = 1 THEN 'Návrh neprešiel'
+                ELSE 'Parlament nebol uznášaniaschopný' END AS result,
+           ext % 8 + 1 AS period_num,
+           vs.n_votes, vs.votes_str, cs.clubs_str
+    FROM vs JOIN cs USING (ext)
+    """,
+)
+def items_voting_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voting pages → VotingItem + nested votes + the daily-clubs aggregate,
+    ALL derived from the HTML vote table inside the parse kernel
+    (votings.py:160-244): positional header slice (P5), club-header carry
+    (A1), bracket-stripped votes (F3/F4), PoslanecID href param (F9)."""
+    pages = TP.voting_pages(load(spark, sf_dir, "lineitem"), max_key=300)
+    v = PT.fold_voting(PT.extract_voting_raw(pages))
+    dc = PT.daily_clubs(v).select(
+        F.col("voting_external_id").alias("external_id"),
+        F.array_join(
+            F.transform(
+                F.col("clubs"),
+                lambda c: F.concat(
+                    c["club"], F.lit(":"),
+                    F.array_join(F.transform(c["member_ids"], lambda m: m.cast("string")), "|"),
+                ),
+            ),
+            ";",
+        ).alias("clubs_str"),
+    )
+    return v.join(dc, "external_id").select(
+        "type",
+        "external_id",
+        "session_num",
+        "voting_num",
+        "datetime",
+        "result",
+        "period_num",
+        F.size("votes").cast("long").alias("n_votes"),
+        F.array_join(
+            F.transform(F.col("votes"), lambda x: F.concat(x["external_id"], F.lit("="), x["vote"])),
+            ";",
+        ).alias("votes_str"),
+        "clubs_str",
+    )
+
+
+@query(
+    "items_typed_merge",
+    """
+    SELECT 'press' AS type,
+           p_partkey AS press_num,
+           p_partkey % 8 + 1 AS period_num,
+           'Tlač ' || p_partkey AS title,
+           CASE WHEN p_partkey % 2 = 0 THEN 'zákon' ELSE 'iný typ' END AS press_type,
+           make_timestamp(1990 + p_partkey % 30, p_partkey % 12 + 1, p_partkey % 28 + 1, 12, 0, 0) AS press_date,
+           CASE WHEN p_partkey <= 200 THEN 'insert'
+                WHEN p_partkey % 3 = 0 THEN 'update'
+                ELSE 'unchanged' END AS action
+    FROM part WHERE p_partkey <= 400
+    """,
+)
+def items_typed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Press pages parsed into PressItem rows and MERGED into a pre-existing
+    typed store by the press natural key (pipelines.py:37-131 dispatch →
+    merge_sink.NATURAL_KEYS): keys ≤200 are new (insert), 200<k≤400 exist —
+    mutated titles (k%3=0) classify update, the rest unchanged; store rows
+    >400 are untouched (keep, not emitted)."""
+    part = load(spark, sf_dir, "part")
+    batch = PT.fold_press(PT.extract_press_raw(TP.press_pages(part, max_key=400)))
+
+    p = F.col("p_partkey")
+    current = part.filter((p > 200) & (p <= 600)).select(
+        F.lit("press").alias("type"),
+        p.alias("press_num"),
+        F.when(p % 3 == 0, F.concat(F.lit("OLD Tlač "), p)).otherwise(
+            F.concat(F.lit("Tlač "), p)
+        ).alias("title"),
+        F.when(p % 2 == 0, F.lit("zákon")).otherwise(F.lit("iný typ")).alias("press_type"),
+        F.make_timestamp(
+            (p % 30 + 1990), (p % 12 + 1), (p % 28 + 1), F.lit(12), F.lit(0), F.lit(0)
+        ).alias("press_date"),
+        (p % 8 + 1).alias("period_num"),
+        F.concat(F.lit(_URL + "Default.aspx?sid=zakony/cpt&ID="), p).alias("url"),
+    )
+    keys = merge_sink.natural_keys_for("press")
+    res = merge_sink.merge_upsert(current, batch, keys)
+    return res.actions.join(batch, list(keys)).select(
+        "type", "press_num", "period_num", "title", "press_type", "press_date", "action"
+    )

@@ -1,0 +1,237 @@
+"""Typed item extraction: reference-shaped HTML → ITEM_SPECS structs
+(SURVEY §2.2 P1 depth + §2.10 — the per-spider field projections feeding the
+keyed sink, end-to-end).
+
+Mirrors the reference parse callbacks over real page markup:
+ - member fields from labelled spans → MemberItem
+   (/root/reference/nrsr/spiders/members.py:79-143; items.py:43-78);
+ - voting metadata + the votes TABLE with club-header rows — positional row
+   slicing (skip the header row, votings.py:219) and club-header CARRY
+   (a club cell sets the current club for subsequent member rows,
+   votings.py:219-244) happen INSIDE the parse kernel over raw HTML;
+ - press fields (presses.py direct item construction; items.py:193-204).
+
+Split of work (the ItemLoader re-expression, SURVEY §1.4):
+ - the Arrow-batched ``mapInPandas`` kernel does ONLY extraction — regex
+   field projections into multi-valued string arrays (XPath stand-ins),
+   document order preserved;
+ - fold semantics (TakeFirst / Join / MapCompose(cleaner)) and typing are
+   pure Column expressions over those arrays (functions/cleaners.py +
+   items.apply_fold) — JVM-side, codegen.
+
+Input contract: a DataFrame with ``page_url string`` + ``body binary``
+(plus any passthrough columns); one output row per matched page.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nrsr_crawler_spark.functions import cleaners as C
+
+_SPAN_RE = re.compile(r'<span class="([a-z_]+)">(.*?)</span>', re.S)
+_DIV_RE = re.compile(r'<div id="(member|voting|press)"[^>]*data-period="(\d+)"')
+_TR_RE = re.compile(r"<tr>(.*?)</tr>", re.S)
+_CLUB_TD_RE = re.compile(r'<td class="club">(.*?)</td>', re.S)
+_MEMBER_TD_RE = re.compile(r'<td class="member">(.*?)</td>', re.S)
+_VOTE_TD_RE = re.compile(r'<td class="vote">(.*?)</td>', re.S)
+_HREF_RE = re.compile(r'href="([^"]*)"')
+
+MEMBER_RAW_SCHEMA = (
+    "page_url string, period_num long, external_id array<string>, "
+    "forename array<string>, surname array<string>, title array<string>, "
+    "email array<string>, born array<string>, nationality array<string>"
+)
+VOTING_RAW_SCHEMA = (
+    "page_url string, period_num long, external_id array<string>, "
+    "session_num array<string>, voting_num array<string>, dt array<string>, "
+    "result array<string>, "
+    "votes array<struct<href:string, vote_raw:string, club:string>>"
+)
+PRESS_RAW_SCHEMA = (
+    "page_url string, period_num long, press_num array<string>, "
+    "title array<string>, press_type array<string>, press_date array<string>"
+)
+
+_MEMBER_FIELDS = ("external_id", "forename", "surname", "title", "email", "born", "nationality")
+_VOTING_FIELDS = ("external_id", "session_num", "voting_num", "dt", "result")
+_PRESS_FIELDS = ("press_num", "title", "press_type", "press_date")
+
+
+def _spans(text: str) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for cls, val in _SPAN_RE.findall(text):
+        out.setdefault(cls, []).append(val)
+    return out
+
+
+def _kind_and_period(text: str):
+    m = _DIV_RE.search(text)
+    return (m.group(1), int(m.group(2))) if m else (None, None)
+
+
+def _extract_kind(pages: DataFrame, kind: str, fields, schema: str, extra=None) -> DataFrame:
+    """Shared raw extractor: pages of ``kind`` → one row of multi-valued
+    string arrays per page (document order)."""
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = {"page_url": [], "period_num": []}
+            for f in fields:
+                rows[f] = []
+            if extra is not None:
+                rows[extra[0]] = []
+            for url, body in zip(pdf["page_url"], pdf["body"]):
+                if body is None:
+                    continue
+                text = bytes(body).decode("utf-8", errors="replace")
+                k, period = _kind_and_period(text)
+                if k != kind:
+                    continue
+                sp = _spans(text)
+                rows["page_url"].append(url)
+                rows["period_num"].append(period)
+                for f in fields:
+                    rows[f].append(sp.get(f, []))
+                if extra is not None:
+                    rows[extra[0]].append(extra[1](text))
+            yield pd.DataFrame(rows)
+
+    return pages.select("page_url", "body").mapInPandas(_gen, schema=schema)
+
+
+def _parse_votes_table(text: str) -> list[dict]:
+    """The votings.py:219-244 kernel: iterate table rows POSITIONALLY
+    (rows[1:] slices off the <th> header row — P5), a club cell sets the
+    carried current club, member rows emit (href, raw vote, carried club)."""
+    votes: list[dict] = []
+    rows = _TR_RE.findall(text)
+    club = None
+    for row in rows[1:]:  # positional slice: skip the header row
+        m_club = _CLUB_TD_RE.search(row)
+        if m_club:
+            club = m_club.group(1).strip()
+            continue
+        m_member = _MEMBER_TD_RE.search(row)
+        m_vote = _VOTE_TD_RE.search(row)
+        if m_member and m_vote:
+            href = _HREF_RE.search(m_member.group(1))
+            votes.append(
+                {
+                    "href": href.group(1) if href else None,
+                    "vote_raw": m_vote.group(1),
+                    "club": club,
+                }
+            )
+    return votes
+
+
+def extract_member_raw(pages: DataFrame) -> DataFrame:
+    return _extract_kind(pages, "member", _MEMBER_FIELDS, MEMBER_RAW_SCHEMA)
+
+
+def extract_voting_raw(pages: DataFrame) -> DataFrame:
+    return _extract_kind(
+        pages, "voting", _VOTING_FIELDS, VOTING_RAW_SCHEMA,
+        extra=("votes", _parse_votes_table),
+    )
+
+
+def extract_press_raw(pages: DataFrame) -> DataFrame:
+    return _extract_kind(pages, "press", _PRESS_FIELDS, PRESS_RAW_SCHEMA)
+
+
+# -- folds: ItemLoader output-processor semantics as Column expressions --------
+
+def _tf(col: str):
+    return C.take_first(F.col(col))
+
+
+def fold_member(raw: DataFrame) -> DataFrame:
+    """MemberItem fold (items.py:43-78): TakeFirst on ids/names/born; Join on
+    title/email/nationality with MapCompose cleaners applied BEFORE the fold;
+    born parses the Slovak date with noon-normalization (F7)."""
+    clean_ws = lambda arr: F.transform(arr, C.filter_whitespaces)  # noqa: E731
+    return raw.select(
+        F.lit("member").alias("type"),
+        C.try_int(_tf("external_id")).alias("external_id"),
+        C.filter_whitespaces(_tf("forename")).alias("forename"),
+        C.filter_whitespaces(_tf("surname")).alias("surname"),
+        F.array_join(clean_ws(F.col("title")), " ").alias("title"),
+        F.array_join(F.transform(F.col("email"), lambda x: C.filter_mailto(C.filter_whitespaces(x))), " ").alias("email"),
+        C.parse_date_noon(_tf("born")).alias("born"),
+        F.array_join(clean_ws(F.col("nationality")), " ").alias("nationality"),
+        F.col("period_num"),
+        F.col("page_url").alias("url"),
+    )
+
+
+def fold_voting(raw: DataFrame) -> DataFrame:
+    """VotingItem fold (items.py:218-237): scalars TakeFirst; ``votes`` is
+    the nested array<struct> — vote text goes through MapCompose(filter_vote)
+    (the bracket strip, items.py:17-18) and the member id is the PoslanecID
+    query param of the href (votings.py:198-205)."""
+    votes = F.transform(
+        F.col("votes"),
+        lambda v: F.struct(
+            F.regexp_extract(v["href"], r"PoslanecID=(\d+)", 1).try_cast("long").alias("external_id"),
+            C.filter_vote(v["vote_raw"]).alias("vote"),
+            v["club"].alias("club"),
+        ),
+    )
+    return raw.select(
+        F.lit("voting").alias("type"),
+        C.try_int(_tf("external_id")).alias("external_id"),
+        C.try_int(_tf("session_num")).alias("session_num"),
+        C.try_int(_tf("voting_num")).alias("voting_num"),
+        C.parse_datetime(_tf("dt")).alias("datetime"),
+        C.filter_whitespaces(_tf("result")).alias("result"),
+        F.array_sort(votes).alias("votes"),  # O1 deterministic output sort
+        F.col("period_num"),
+        F.col("page_url").alias("url"),
+    )
+
+
+def fold_press(raw: DataFrame) -> DataFrame:
+    """PressItem fold (items.py:193-204; presses.py constructs the item with
+    direct single-valued assignment, so extraction arrays are TakeFirst-ed)."""
+    return raw.select(
+        F.lit("press").alias("type"),
+        C.try_int(_tf("press_num")).alias("press_num"),
+        C.filter_whitespaces(_tf("title")).alias("title"),
+        C.filter_whitespaces(_tf("press_type")).alias("press_type"),
+        C.parse_date_noon(_tf("press_date")).alias("press_date"),
+        F.col("period_num"),
+        F.col("page_url").alias("url"),
+    )
+
+
+def daily_clubs(voting: DataFrame) -> DataFrame:
+    """DailyClubItem semantics (votings.py:225-243 + items.py:36-40): per
+    voting, group the carried club → sorted member-id lists — computed from
+    the parsed votes array with pure Column ops (A1 header-carry, derived
+    from HTML instead of a pre-relational table)."""
+    clubs = F.array_sort(F.array_distinct(F.transform(F.col("votes"), lambda v: v["club"])))
+    per_club = F.transform(
+        clubs,
+        lambda c: F.struct(
+            c.alias("club"),
+            F.array_sort(
+                F.transform(
+                    F.filter(F.col("votes"), lambda v: v["club"] == c),
+                    lambda v: v["external_id"],
+                )
+            ).alias("member_ids"),
+        ),
+    )
+    return voting.select(
+        F.lit("daily_club").alias("type"),
+        F.col("period_num"),
+        F.to_date(F.col("datetime")).alias("date"),
+        F.col("external_id").alias("voting_external_id"),
+        per_club.alias("clubs"),
+    )
