@@ -97,5 +97,6 @@ def join_nonnull(*cols: Column, sep: str = " ") -> Column:
 
 
 def take_first(arr: Column) -> Column:
-    """ItemLoader ``TakeFirst()`` (items.py:22-28): first non-null element."""
-    return F.element_at(F.filter(arr, lambda x: x.isNotNull()), 1)
+    """ItemLoader ``TakeFirst()`` (items.py:22-28): first non-null element;
+    NULL for an empty extraction (try_element_at — ANSI-safe)."""
+    return F.try_element_at(F.filter(arr, lambda x: x.isNotNull()), F.lit(1))

@@ -247,7 +247,7 @@ def apply_fold(extracted: Column, fold: str) -> Column:
     functions/cleaners.py).
     """
     if fold == TF:
-        return F.element_at(F.filter(extracted, lambda x: x.isNotNull()), 1)
+        return F.try_element_at(F.filter(extracted, lambda x: x.isNotNull()), F.lit(1))
     if fold == JOIN:
         return F.array_join(extracted, " ")
     if fold == KEEP:

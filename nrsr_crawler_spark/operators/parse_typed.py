@@ -48,8 +48,8 @@ MEMBER_RAW_SCHEMA = (
 )
 VOTING_RAW_SCHEMA = (
     "page_url string, period_num long, external_id array<string>, "
-    "session_num array<string>, voting_num array<string>, dt array<string>, "
-    "result array<string>, "
+    "session_num array<string>, voting_num array<string>, press_num array<string>, "
+    "dt array<string>, result array<string>, "
     "votes array<struct<href:string, vote_raw:string, club:string>>"
 )
 PRESS_RAW_SCHEMA = (
@@ -58,7 +58,7 @@ PRESS_RAW_SCHEMA = (
 )
 
 _MEMBER_FIELDS = ("external_id", "forename", "surname", "title", "email", "born", "nationality")
-_VOTING_FIELDS = ("external_id", "session_num", "voting_num", "dt", "result")
+_VOTING_FIELDS = ("external_id", "session_num", "voting_num", "press_num", "dt", "result")
 _PRESS_FIELDS = ("press_num", "title", "press_type", "press_date")
 
 
@@ -99,7 +99,8 @@ def _extract_kind(pages: DataFrame, kind: str, fields, schema: str, extra=None) 
                     rows[f].append(sp.get(f, []))
                 if extra is not None:
                     rows[extra[0]].append(extra[1](text))
-            yield pd.DataFrame(rows)
+            if rows["page_url"]:  # empty pandas frames infer float64 for
+                yield pd.DataFrame(rows)  # list columns and break Arrow
 
     return pages.select("page_url", "body").mapInPandas(_gen, schema=schema)
 
@@ -188,6 +189,7 @@ def fold_voting(raw: DataFrame) -> DataFrame:
         C.try_int(_tf("external_id")).alias("external_id"),
         C.try_int(_tf("session_num")).alias("session_num"),
         C.try_int(_tf("voting_num")).alias("voting_num"),
+        C.try_int(_tf("press_num")).alias("press_num"),  # NULL when the page has no press ref
         C.parse_datetime(_tf("dt")).alias("datetime"),
         C.filter_whitespaces(_tf("result")).alias("result"),
         F.array_sort(votes).alias("votes"),  # O1 deterministic output sort

@@ -112,6 +112,7 @@ class CrawlEngine:
         strict_seq: bool = True,
         seq_parent_bits: int = 20,
         seq_child_bits: int = 20,
+        typed_items: bool = True,
     ):
         self.spark = spark
         self.lake = EpochLake(lake_root)
@@ -128,6 +129,7 @@ class CrawlEngine:
         self.strict_seq = strict_seq
         self.seq_parent_bits = seq_parent_bits
         self.seq_child_bits = seq_child_bits
+        self.typed_items = typed_items
         if seq_parent_bits + seq_child_bits > _SEQ_EPOCH_SHIFT:
             raise ValueError(
                 f"seq_parent_bits + seq_child_bits must fit below the epoch "
@@ -354,6 +356,23 @@ class CrawlEngine:
 
             items = parse_ops.extract_items(fetched)
 
+            # typed item extraction (SURVEY §2.10 end-to-end): parse fetched
+            # bodies into ITEM_SPECS structs and append per-type DELTAS —
+            # write volume ∝ batch; the merged store is the merge-on-read
+            # view (typed_store), Iceberg MERGE INTO at deploy time
+            if self.typed_items:
+                from nrsr_crawler_spark.operators import parse_typed as PT
+
+                typed_pages = fetched.select(
+                    F.col("canon_url").alias("page_url"), "body"
+                )
+                for name, typed in (
+                    ("member", PT.fold_member(PT.extract_member_raw(typed_pages))),
+                    ("voting", PT.fold_voting(PT.extract_voting_raw(typed_pages))),
+                    ("press", PT.fold_press(PT.extract_press_raw(typed_pages))),
+                ):
+                    self.lake.write_delta(f"items_{name}", typed, epoch)
+
             # writes; counts + the seq-packing overflow guards ride on
             # Observation metrics instead of separate read-back count jobs
             obs_fetch = Observation()
@@ -437,6 +456,24 @@ class CrawlEngine:
         return CrawlStats(epochs=self.lake.last_committed(), fetched=total_fetched, enqueued=total_enqueued, items=total_items)
 
     # -- final state ----------------------------------------------------------
+    def typed_store(self, item_type: str) -> DataFrame:
+        """Merge-on-read view of a typed item table: per-epoch deltas
+        deduplicated by the type's natural key, LAST writer (highest epoch)
+        wins — the parquet stand-in for Iceberg ``MERGE INTO`` keyed by
+        pipelines.py:37-131's match_dict (merge_sink.NATURAL_KEYS)."""
+        from pyspark.sql import Window
+
+        from nrsr_crawler_spark.operators import merge_sink
+
+        keys = list(merge_sink.natural_keys_for(item_type))
+        deltas = self.lake.read_all(self.spark, f"items_{item_type}")
+        w = Window.partitionBy(*keys).orderBy(F.col("epoch").desc())
+        return (
+            deltas.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "epoch")
+        )
+
     def seen_set(self) -> DataFrame:
         """Final URL-seen set (dupefilter contents): everything ever enqueued."""
         return self.lake.read_all(self.spark, "frontier").select("url_hash", "canon_url")

@@ -39,14 +39,72 @@ SURNAMES = ["Novák", "Kováč", "Horváth", "Tóth", "Varga", "Szabó", "Molná
 @dataclass
 class SitePage:
     url: str
-    kind: str                      # seed | list | page | detail | detail_member
+    kind: str                      # seed | list | page | detail | detail_member | voting
     period_num: int
     child_hrefs: list[str] = field(default_factory=list)  # raw hrefs, in document order
     payload: dict | None = None
     image_id: str | None = None
 
+    def _typed_markup(self) -> str:
+        """Reference-shaped typed markup (parsed by operators/parse_typed.py)
+        rendered from the payload dict — member field spans
+        (members.py:79-143), press field spans, and the voting vote TABLE
+        with a <th> header row and club-header rows (votings.py:219-244).
+        For voting pages the member links in the table ARE the page's child
+        hrefs (in document order), like the reference's member hrefs."""
+        p = self.payload
+        if p is None:
+            return ""
+        if p.get("type") == "member":
+            m = p["external_id"]
+            return (
+                f'<div id="member" data-period="{self.period_num}">'
+                f'<span class="external_id">{m}</span>'
+                f'<span class="forename">{p["forename"]}</span>'
+                f'<span class="surname">{p["surname"]}</span>'
+                f'<span class="email"> mailto:member{m}@nrsr.sk </span>'
+                f'<span class="born"> {m % 28 + 1}. {m % 12 + 1}. {1950 + m % 40} </span>'
+                f'<span class="nationality">slovenská</span></div>'
+            )
+        if p.get("type") == "press":
+            d = p["press_num"]
+            press_type = "zákon" if d % 2 == 0 else "iný typ"
+            return (
+                f'<div id="press" data-period="{self.period_num}">'
+                f'<span class="press_num">{d}</span>'
+                f'<span class="title"> {p["title"]} </span>'
+                f'<span class="press_type">{press_type}</span>'
+                f'<span class="press_date">{p["date"]}</span></div>'
+            )
+        if p.get("type") == "voting":
+            rows = ['<tr><th>Poslanec</th><th>Hlas</th></tr>']
+            club = None
+            for mid, vote, c, href in p["votes"]:
+                if c != club:
+                    club = c
+                    rows.append(f'<tr><td class="club">{c}</td></tr>')
+                rows.append(
+                    f'<tr><td class="member"><a href="{href}">Poslanec {mid}</a></td>'
+                    f'<td class="vote"> [{vote}] </td></tr>'
+                )
+            return (
+                f'<div id="voting" data-period="{self.period_num}">'
+                f'<span class="external_id">{p["external_id"]}</span>'
+                f'<span class="session_num">{p["session_num"]}</span>'
+                f'<span class="voting_num">{p["voting_num"]}</span>'
+                f'<span class="dt"> {p["dt"]} </span>'
+                f'<span class="result">{p["result"]}</span></div>'
+                f'<table id="votes">{"".join(rows)}</table>'
+            )
+        return ""
+
     def body_html(self) -> bytes:
-        links = "\n".join(f'<a href="{h}">x</a>' for h in self.child_hrefs)
+        # voting pages: child links live inside the vote table (document
+        # order = table order); other kinds render a plain link list
+        links = (
+            "" if self.kind == "voting"
+            else "\n".join(f'<a href="{h}">x</a>' for h in self.child_hrefs)
+        )
         payload = (
             f'<script id="payload" type="application/json">{json.dumps(self.payload, sort_keys=True, ensure_ascii=False)}</script>'
             if self.payload is not None
@@ -55,7 +113,7 @@ class SitePage:
         img = f'<img id="photo" src="{self.image_id}"/>' if self.image_id else ""
         return (
             f"<html><body><!--kind={self.kind} period={self.period_num}-->\n"
-            f"{links}\n{payload}\n{img}\n</body></html>"
+            f"{links}\n{payload}\n{img}\n{self._typed_markup()}\n</body></html>"
         ).encode("utf-8")
 
 
@@ -71,6 +129,35 @@ def _detail_url(period: int, ext_id: int) -> str:
 
 def _member_url(period: int, member_id: int) -> str:
     return f"{BASE}Default.aspx?sid=poslanci/poslanec&PoslanecID={member_id}&CisObdobia={period}"
+
+
+def _voting_url(period: int, ext_id: int) -> str:
+    return f"{BASE}Default.aspx?sid=schodze/hlasovanie/hlasklub&ID={ext_id}&CisObdobia={period}"
+
+
+VOTE_LETTERS = ["Z", "P", "?", "N", "0"]
+
+
+def _voting_payload(period: int, ext: int, member_ids: list[int]) -> dict:
+    """Deterministic voting record: votes over the period's members, table
+    order = club-grouped then member-id order (the club-header-carry shape)."""
+    votes = sorted(
+        (
+            (m, VOTE_LETTERS[(m + ext) % 5], f"Klub {m % 2}", _member_url(period, m))
+            for m in member_ids
+        ),
+        key=lambda t: (t[2], t[0]),
+    )
+    return {
+        "type": "voting",
+        "external_id": ext,
+        "session_num": ext % 50 + 1,
+        "voting_num": ext % 997,
+        "dt": f"{ext % 28 + 1}. {ext % 12 + 1}. {2010 + ext % 10} {ext % 24}:{ext % 60:02d}:{ext % 59:02d}",
+        "result": ["Návrh prešiel", "Návrh neprešiel", "Parlament nebol uznášaniaschopný"][ext % 3],
+        "period_num": period,
+        "votes": votes,
+    }
 
 
 def generate_site(
@@ -115,6 +202,9 @@ def generate_site(
                 ids_here.append(ext_id)
             period_detail_ids.extend(ids_here)
             hrefs.extend(_detail_url(p, i) for i in ids_here)
+            # a voting detail page hangs off every grid (votings.py:141-158)
+            voting_ext = 9000 + p * 50 + page
+            hrefs.append(_voting_url(p, voting_ext))
             # a malformed href (dropped by canon) and a robots-disallowed link
             hrefs.append("javascript:__doPostBack('grid','Page$%d')" % page)
             hrefs.append(f"https://www.nrsr.sk{DISALLOWED_PREFIX}/p{p}g{page}")
@@ -150,6 +240,23 @@ def generate_site(
                         "title": f"Tlač {d}",
                         "date": f"{(d % 28) + 1}. {(d % 12) + 1}. 201{p % 10}",
                     },
+                )
+            )
+        # voting pages: typed vote table over the period's members; the
+        # member links in the table are the page's children (document order)
+        period_member_ids = [
+            10 + (p - 1) * members_per_period + i for i in range(1, members_per_period + 1)
+        ]
+        for page in range(1, pages_per_period + 1):
+            voting_ext = 9000 + p * 50 + page
+            vp = _voting_payload(p, voting_ext, period_member_ids)
+            put(
+                SitePage(
+                    url=_voting_url(p, voting_ext),
+                    kind="voting",
+                    period_num=p,
+                    child_hrefs=[v[3] for v in vp["votes"]],
+                    payload=vp,
                 )
             )
         # robots-disallowed pages exist but must never be fetched
