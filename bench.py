@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_bruteforce_topk",
     "text_quality",
+    "items_voting_votes",  # typed HTML parse → fold → nested votes pipeline
 ]
 
 
