@@ -356,45 +356,50 @@ class CrawlEngine:
 
             items = parse_ops.extract_items(fetched)
 
-            # typed item extraction (SURVEY §2.10 end-to-end): parse fetched
-            # bodies into ITEM_SPECS structs and append per-type DELTAS —
-            # write volume ∝ batch; the merged store is the merge-on-read
-            # view (typed_store), Iceberg MERGE INTO at deploy time
+            # all per-epoch delta writes are INDEPENDENT Spark jobs over
+            # already-persisted inputs — submit them concurrently (threaded
+            # driver; at small epoch sizes each job alone underuses the
+            # cluster, and the fixed per-job cost dominates toy-scale crawl
+            # wall time).  Counts + the seq-packing overflow guards ride on
+            # Observation metrics instead of separate read-back count jobs.
+            from concurrent.futures import ThreadPoolExecutor
+
+            obs_fetch = Observation()
+            obs_edges = Observation()
+            obs_frontier = Observation()
+            obs_items = Observation()
+            writes: list[tuple[str, DataFrame]] = [
+                ("fetch_log", batch.select(
+                    "url_hash", "canon_url", "seq", "depth", F.col("rk").alias("pop_rank")
+                ).observe(obs_fetch, F.max("pop_rank").alias("max_rk"))),
+                ("edges", edges.select(
+                    "parent_hash", "parent_seq", "child_idx", "url", "canon_url", "url_hash"
+                ).observe(obs_edges, F.count(F.lit(1)).alias("n"), F.max("child_idx").alias("max_child"))),
+                ("frontier", new_delta.observe(obs_frontier, F.count(F.lit(1)).alias("n"))),
+                ("items", items.observe(obs_items, F.count(F.lit(1)).alias("n"))),
+            ]
             if self.typed_items:
+                # typed item extraction (SURVEY §2.10 end-to-end): parse
+                # fetched bodies into ITEM_SPECS structs and append per-type
+                # DELTAS — write volume ∝ batch; the merged store is the
+                # merge-on-read view (typed_store), Iceberg MERGE at deploy
                 from nrsr_crawler_spark.operators import parse_typed as PT
 
                 typed_pages = fetched.select(
                     F.col("canon_url").alias("page_url"), "body"
                 )
-                for name, typed in (
-                    ("member", PT.fold_member(PT.extract_member_raw(typed_pages))),
-                    ("voting", PT.fold_voting(PT.extract_voting_raw(typed_pages))),
-                    ("press", PT.fold_press(PT.extract_press_raw(typed_pages))),
-                ):
-                    self.lake.write_delta(f"items_{name}", typed, epoch)
-
-            # writes; counts + the seq-packing overflow guards ride on
-            # Observation metrics instead of separate read-back count jobs
-            obs_fetch = Observation()
-            self.lake.write_delta("fetch_log", batch.select(
-                "url_hash", "canon_url", "seq", "depth", F.col("rk").alias("pop_rank")
-            ).observe(obs_fetch, F.max("pop_rank").alias("max_rk")), epoch)
-            obs_edges = Observation()
-            self.lake.write_delta(
-                "edges",
-                edges.select(
-                    "parent_hash", "parent_seq", "child_idx", "url", "canon_url", "url_hash"
-                ).observe(obs_edges, F.count(F.lit(1)).alias("n"), F.max("child_idx").alias("max_child")),
-                epoch,
-            )
-            obs_frontier = Observation()
-            self.lake.write_delta(
-                "frontier", new_delta.observe(obs_frontier, F.count(F.lit(1)).alias("n")), epoch
-            )
-            obs_items = Observation()
-            self.lake.write_delta(
-                "items", items.observe(obs_items, F.count(F.lit(1)).alias("n")), epoch
-            )
+                writes += [
+                    ("items_member", PT.fold_member(PT.extract_member_raw(typed_pages))),
+                    ("items_voting", PT.fold_voting(PT.extract_voting_raw(typed_pages))),
+                    ("items_press", PT.fold_press(PT.extract_press_raw(typed_pages))),
+                ]
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                futs = [
+                    pool.submit(self.lake.write_delta, table, df, epoch)
+                    for table, df in writes
+                ]
+                for f in futs:
+                    f.result()
             n_edges = int(obs_edges.get["n"])
             max_child = obs_edges.get["max_child"]
             n_new = int(obs_frontier.get["n"])

@@ -93,6 +93,25 @@ def test_prepare_candidates_single_shuffle(spark):
     assert plan.count("+- Exchange") == 1, plan[:3000]
 
 
+def test_typed_merge_pushes_filter_to_scan(spark):
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["items_typed_merge"](spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("p_partkey" in ln for ln in pushed), pushed
+
+
+def test_typed_parse_is_single_arrow_pass(spark):
+    """The typed extraction is ONE Arrow-batched mapInPandas per item type —
+    no row-at-a-time Python (BatchEvalPython) anywhere; the folds stay as
+    JVM column expressions (Project over the UDF output)."""
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["items_member_fold"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_canon_stage_stays_in_wholestage_codegen(spark):
     raw = spark.range(0, 100).select(
         F.concat(F.lit("https://www.nrsr.sk/p?id="), F.col("id")).alias("url")
