@@ -121,6 +121,48 @@ def items_voting_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "items_debate_fold",
+    """
+    SELECT 'debate_appearance' AS type,
+           o_orderkey AS external_id,
+           'F' || (o_orderkey % 100) || ' S' || o_orderkey AS debater_name,
+           'Klub ' || (o_orderkey % 4) AS debater_party,
+           o_orderkey % 50 + 1 AS session_num,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN (o_orderkey % 500) || ',' || (o_orderkey % 500 + 1)
+                ELSE CAST(o_orderkey % 500 AS VARCHAR) END AS press_nums_str,
+           'Vystúpenie v rozprave' AS appearance_type,
+           make_timestamp(2015 + o_orderkey % 10, o_orderkey % 12 + 1, o_orderkey % 28 + 1,
+                          o_orderkey % 24, o_orderkey % 60, o_orderkey % 59) AS start_ts,
+           make_timestamp(2015 + o_orderkey % 10, o_orderkey % 12 + 1, o_orderkey % 28 + 1,
+                          o_orderkey % 24, o_orderkey % 60, o_orderkey % 59 + 1) AS end_ts,
+           o_orderkey % 8 + 1 AS period_num
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def items_debate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debate pages → DebateAppearanceItem rows
+    (debate_appearances.py:155-214): the F8b time-range split into
+    (start, end) timestamps, the LIST-typed press_num (KEEP fold,
+    items.py:100 / missing_presses.py:47), and Join-folded
+    appearance_type."""
+    pages = TP.debate_pages(load(spark, sf_dir, "orders"), max_key=300)
+    d = PT.fold_debate(PT.extract_debate_raw(pages))
+    return d.select(
+        "type",
+        "external_id",
+        "debater_name",
+        "debater_party",
+        "session_num",
+        F.array_join(F.transform(F.col("press_num"), lambda x: x.cast("string")), ",").alias("press_nums_str"),
+        "appearance_type",
+        F.col("start").alias("start_ts"),
+        F.col("end").alias("end_ts"),
+        "period_num",
+    )
+
+
+@query(
     "items_typed_merge",
     """
     SELECT 'press' AS type,

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from nrsr_crawler_spark.functions import cleaners as C
 
 _SPAN_RE = re.compile(r'<span class="([a-z_]+)">(.*?)</span>', re.S)
-_DIV_RE = re.compile(r'<div id="(member|voting|press)"[^>]*data-period="(\d+)"')
+_DIV_RE = re.compile(r'<div id="(member|voting|press|debate)"[^>]*data-period="(\d+)"')
 _TR_RE = re.compile(r"<tr>(.*?)</tr>", re.S)
 _CLUB_TD_RE = re.compile(r'<td class="club">(.*?)</td>', re.S)
 _MEMBER_TD_RE = re.compile(r'<td class="member">(.*?)</td>', re.S)
@@ -56,10 +56,20 @@ PRESS_RAW_SCHEMA = (
     "page_url string, period_num long, press_num array<string>, "
     "title array<string>, press_type array<string>, press_date array<string>"
 )
+DEBATE_RAW_SCHEMA = (
+    "page_url string, period_num long, external_id array<string>, "
+    "debater_name array<string>, debater_party array<string>, "
+    "session_num array<string>, press_num array<string>, "
+    "appearance_type array<string>, when array<string>"
+)
 
 _MEMBER_FIELDS = ("external_id", "forename", "surname", "title", "email", "born", "nationality")
 _VOTING_FIELDS = ("external_id", "session_num", "voting_num", "press_num", "dt", "result")
 _PRESS_FIELDS = ("press_num", "title", "press_type", "press_date")
+_DEBATE_FIELDS = (
+    "external_id", "debater_name", "debater_party", "session_num",
+    "press_num", "appearance_type", "when",
+)
 
 
 def _spans(text: str) -> dict[str, list[str]]:
@@ -146,6 +156,10 @@ def extract_press_raw(pages: DataFrame) -> DataFrame:
     return _extract_kind(pages, "press", _PRESS_FIELDS, PRESS_RAW_SCHEMA)
 
 
+def extract_debate_raw(pages: DataFrame) -> DataFrame:
+    return _extract_kind(pages, "debate", _DEBATE_FIELDS, DEBATE_RAW_SCHEMA)
+
+
 # -- folds: ItemLoader output-processor semantics as Column expressions --------
 
 def _tf(col: str):
@@ -207,6 +221,27 @@ def fold_press(raw: DataFrame) -> DataFrame:
         C.filter_whitespaces(_tf("title")).alias("title"),
         C.filter_whitespaces(_tf("press_type")).alias("press_type"),
         C.parse_date_noon(_tf("press_date")).alias("press_date"),
+        F.col("period_num"),
+        F.col("page_url").alias("url"),
+    )
+
+
+def fold_debate(raw: DataFrame) -> DataFrame:
+    """DebateAppearanceItem fold (items.py:90-111): list-typed ``press_num``
+    (KEEP fold → array<long>, the missing_presses.py:47 pain point), Join on
+    appearance_type, and the F8b time-range split
+    (debate_appearances.py:159-164) producing (start, end) timestamps."""
+    tr = C.time_range(C.filter_whitespaces(_tf("when")))
+    return raw.select(
+        F.lit("debate_appearance").alias("type"),
+        C.try_int(_tf("external_id")).alias("external_id"),
+        C.filter_whitespaces(_tf("debater_name")).alias("debater_name"),
+        C.filter_whitespaces(_tf("debater_party")).alias("debater_party"),
+        C.try_int(_tf("session_num")).alias("session_num"),
+        F.transform(F.col("press_num"), C.try_int).alias("press_num"),  # KEEP: list-typed
+        F.array_join(F.transform(F.col("appearance_type"), C.filter_whitespaces), " ").alias("appearance_type"),
+        tr["start"].alias("start"),
+        tr["end"].alias("end"),
         F.col("period_num"),
         F.col("page_url").alias("url"),
     )

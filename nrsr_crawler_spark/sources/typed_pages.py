@@ -135,6 +135,45 @@ def voting_pages(lineitem: DataFrame, max_key: int = 300) -> DataFrame:
     )
 
 
+def debate_pages(orders: DataFrame, max_key: int = 300) -> DataFrame:
+    """Debate-appearance pages from ``orders`` (debate_appearances.py:155-214
+    shape): MULTI-VALUED press_num spans (list-typed field, items.py:100),
+    two appearance_type spans (Join fold), and the 'd. M. yyyy H:mm:ss -
+    H:mm:ss' time-range span (F8b).
+
+    Derivations: external_id=o; start=(o%24):(o%60):(o%59); end = same time
+    +1 second; press nums [o%500] plus [o%500+1] when o is even."""
+    o = F.col("o_orderkey")
+    second_press = F.when(
+        o % 2 == 0, F.format_string('<span class="press_num">%d</span>', (o % 500 + 1))
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.format_string(
+            '<div id="debate" data-period="%d">'
+            '<span class="external_id">%d</span>'
+            '<span class="debater_name"> F%d S%d </span>'
+            '<span class="debater_party">Klub %d</span>'
+            '<span class="session_num">%d</span>'
+            '<span class="press_num">%d</span>',
+            (o % 8 + 1).cast("int"), o, (o % 100).cast("int"), o,
+            (o % 4).cast("int"), (o % 50 + 1).cast("int"), (o % 500).cast("int"),
+        ),
+        second_press,
+        F.format_string(
+            '<span class="appearance_type">Vystúpenie</span>'
+            '<span class="appearance_type">v rozprave</span>'
+            '<span class="when"> %d. %d. %d %d:%02d:%02d - %d:%02d:%02d </span></div>',
+            (o % 28 + 1).cast("int"), (o % 12 + 1).cast("int"), (o % 10 + 2015).cast("int"),
+            (o % 24).cast("int"), (o % 60).cast("int"), (o % 59).cast("int"),
+            (o % 24).cast("int"), (o % 60).cast("int"), (o % 59 + 1).cast("int"),
+        ),
+    )
+    return orders.filter(o <= max_key).select(
+        F.concat(F.lit(BASE + "Default.aspx?sid=schodze/rozprava&ID="), o).alias("page_url"),
+        _body(html).alias("body"),
+    )
+
+
 def press_pages(part: DataFrame, max_key: int = 400) -> DataFrame:
     """Press detail pages from ``part`` (presses.py shape): press_num=p;
     period=p%8+1; title='Tlač '||p; press_type by p%2; date from p."""
