@@ -98,7 +98,13 @@ def frontier_throughput(
         # politeness-realistic per-host budget: the pop stage's level-2 window
         # re-ranks ≤ num_salts·budget rows per host; a huge budget degenerates
         # that into a single-task sort of the whole frontier
-        popped = politeness.pop_budget(fresh, budget=1000, tiebreak=[F.col("canon_url")])
+        # num_salts bounds level-1 window parallelism for a single-host
+        # frontier (profiled: the pop window is the dominant stage; 16 salts
+        # capped it at 16-way).  Size it ~2× the largest parallelism level so
+        # every core gets work at every measured cluster size.
+        popped = politeness.pop_budget(
+            fresh, budget=1000, num_salts=64, tiebreak=[F.col("canon_url")]
+        )
         popped.select(F.count(F.lit(1))).collect()
         return time.perf_counter() - t0
 
