@@ -163,6 +163,85 @@ def items_debate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "items_bill_step_changes",
+    """
+    WITH ch AS (
+        SELECT o_orderkey AS o, i
+        FROM orders, (VALUES (1), (2), (3)) t(i)
+        WHERE o_orderkey <= 300 AND i <= o_orderkey % 4
+    ),
+    agg AS (
+        SELECT o, COUNT(*) AS n_changes,
+               string_agg(
+                   strftime(make_timestamp(2000 + (o + i) % 20, (o + i) % 12 + 1,
+                                           (o + i) % 28 + 1, 12, 0, 0),
+                            '%Y-%m-%d %H:%M:%S')
+                   || '~A' || ((o * 7 + i) % 50)
+                   || '~/web/Default.aspx?sid=zakony/zmena&ID=' || (o * 10 + i)
+                   || '~Príloha ' || i
+                   || '~/web/dok/' || (o * 10 + i),
+                   ';' ORDER BY i) AS changes_str
+        FROM ch GROUP BY o
+    )
+    SELECT 'bill_step' AS type,
+           o_orderkey % 120 + 1 AS bill_id,
+           o_orderkey AS external_id,
+           'Krok ' || (o_orderkey % 7) AS main_label,
+           'Podanie ' || (o_orderkey % 5) AS body_label,
+           CASE WHEN o_orderkey % 5 <> 0 THEN o_orderkey % 50 + 1 END AS meeting_session_num,
+           CASE WHEN o_orderkey % 5 <> 0 THEN 'U-' || (o_orderkey * 3 % 1000) END AS meeting_resolution,
+           'Výbor ' || (o_orderkey % 13) AS coordinator_label,
+           CASE WHEN o_orderkey % 4 <> 3
+                THEN make_timestamp(2005 + o_orderkey % 15, o_orderkey % 12 + 1,
+                                    o_orderkey % 28 + 1, 12, 0, 0) END AS coordinator_meeting_date,
+           CASE WHEN o_orderkey % 4 <> 3 THEN 'GV ' || (o_orderkey % 9) END AS coordinator_name,
+           'výsledok ' || (o_orderkey % 4) AS step_result,
+           CAST(o_orderkey % 300 + 1 AS VARCHAR) AS act_num_label,
+           COALESCE(agg.n_changes, 0) AS n_changes,
+           COALESCE(agg.changes_str, '') AS changes_str,
+           o_orderkey % 8 + 1 AS period_num
+    FROM orders LEFT JOIN agg ON agg.o = o_orderkey
+    WHERE o_orderkey <= 300
+    """,
+)
+def items_bill_step_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-step pages → BillStepItem + nested BillStepChangeItem rows
+    (bills.py:162-234): identity from the URL query (F9), two
+    presence-conditional span groups (meeting panel; coordinator date+name),
+    the reference's ', '/NBSP date cleanup, and the positional-td changes
+    table with a date-prefix regex — the most deeply nested typed item."""
+    pages = TP.bill_step_pages(load(spark, sf_dir, "orders"), max_key=300)
+    d = PT.fold_bill_step(PT.extract_bill_step_raw(pages))
+    return d.select(
+        "type",
+        "bill_id",
+        "external_id",
+        "main_label",
+        "body_label",
+        "meeting_session_num",
+        "meeting_resolution",
+        "coordinator_label",
+        "coordinator_meeting_date",
+        "coordinator_name",
+        "step_result",
+        "act_num_label",
+        F.size("changes").cast("long").alias("n_changes"),
+        F.array_join(
+            F.transform(
+                F.col("changes"),
+                lambda ch: F.concat_ws(
+                    "~",
+                    F.date_format(ch["date"], "yyyy-MM-dd HH:mm:ss"),
+                    ch["author"], ch["detail"], ch["attachment_title"], ch["attachment_url"],
+                ),
+            ),
+            ";",
+        ).alias("changes_str"),
+        "period_num",
+    )
+
+
+@query(
     "items_typed_merge",
     """
     SELECT 'press' AS type,

@@ -225,6 +225,50 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < 8),
+    ad AS (SELECT v.vec_id, c.cid,
+                  list_dot_product(v.qv, v.qv) - 2 * list_dot_product(v.qv, c.cv)
+                      + list_dot_product(c.cv, c.cv) AS d
+           FROM v CROSS JOIN c),
+    cell AS (SELECT vec_id, cid AS cell, rn FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                 FROM ad) WHERE rn <= 2),
+    corpus_cell AS (SELECT vec_id, cell FROM cell WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, cell FROM cell WHERE vec_id < 5),
+    cands AS (SELECT q.query_id, cc.vec_id AS neighbor_id
+              FROM q JOIN corpus_cell cc USING (cell)
+              WHERE cc.vec_id <> q.query_id),
+    sims AS (SELECT query_id, neighbor_id,
+                    ROUND(list_dot_product(qe.e, ne.e)
+                          / (SQRT(list_dot_product(qe.e, qe.e))
+                             * SQRT(list_dot_product(ne.e, ne.e))), 6) AS cos_sim
+             FROM cands
+             JOIN v qe ON qe.vec_id = cands.query_id
+             JOIN v ne ON ne.vec_id = cands.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM sims
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (the task brief's IVF scale path): corpus
+    sharded into centroid cells, queries probe their 2 nearest cells, exact
+    rounded cosine + top-k within cells — candidate set oracle-exact via
+    integer-L2 cell assignment."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+@query(
     "text_quality",
     """
     WITH toks AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)

@@ -34,12 +34,15 @@ from pyspark.sql import functions as F
 from nrsr_crawler_spark.functions import cleaners as C
 
 _SPAN_RE = re.compile(r'<span class="([a-z_]+)">(.*?)</span>', re.S)
-_DIV_RE = re.compile(r'<div id="(member|voting|press|debate)"[^>]*data-period="(\d+)"')
+_DIV_RE = re.compile(r'<div id="(member|voting|press|debate|billstep)"[^>]*data-period="(\d+)"')
 _TR_RE = re.compile(r"<tr>(.*?)</tr>", re.S)
 _CLUB_TD_RE = re.compile(r'<td class="club">(.*?)</td>', re.S)
 _MEMBER_TD_RE = re.compile(r'<td class="member">(.*?)</td>', re.S)
 _VOTE_TD_RE = re.compile(r'<td class="vote">(.*?)</td>', re.S)
 _HREF_RE = re.compile(r'href="([^"]*)"')
+_CHANGES_TABLE_RE = re.compile(r'<table id="changes">(.*?)</table>', re.S)
+_TD_RE = re.compile(r"<td>(.*?)</td>", re.S)
+_A_TEXT_RE = re.compile(r"<a[^>]*>(.*?)</a>", re.S)
 
 MEMBER_RAW_SCHEMA = (
     "page_url string, period_num long, external_id array<string>, "
@@ -69,6 +72,20 @@ _PRESS_FIELDS = ("press_num", "title", "press_type", "press_date")
 _DEBATE_FIELDS = (
     "external_id", "debater_name", "debater_party", "session_num",
     "press_num", "appearance_type", "when",
+)
+BILL_STEP_RAW_SCHEMA = (
+    "page_url string, period_num long, main_label array<string>, "
+    "body_label array<string>, meeting_session_num array<string>, "
+    "meeting_resolution array<string>, coordinator_label array<string>, "
+    "coordinator_meeting_date array<string>, coordinator_name array<string>, "
+    "step_result array<string>, act_num_label array<string>, "
+    "changes array<struct<date_raw:string, author:string, detail:string, "
+    "attachment_title:string, attachment_url:string>>"
+)
+_BILL_STEP_FIELDS = (
+    "main_label", "body_label", "meeting_session_num", "meeting_resolution",
+    "coordinator_label", "coordinator_meeting_date", "coordinator_name",
+    "step_result", "act_num_label",
 )
 
 
@@ -141,6 +158,33 @@ def _parse_votes_table(text: str) -> list[dict]:
     return votes
 
 
+def _parse_changes_table(text: str) -> list[dict]:
+    """The bills.py:198-211 kernel: BillStepChangeItem rows by POSITIONAL td
+    index — td1 noisy date text (prefix-matched later, bills.py:203-205),
+    td2 author text, td3/td5 hrefs, td4 anchor text."""
+    m = _CHANGES_TABLE_RE.search(text)
+    if not m:
+        return []
+    out: list[dict] = []
+    for row in _TR_RE.findall(m.group(1)):
+        tds = _TD_RE.findall(row)
+        if len(tds) < 5:
+            continue
+        detail = _HREF_RE.search(tds[2])
+        atitle = _A_TEXT_RE.search(tds[3])
+        aurl = _HREF_RE.search(tds[4])
+        out.append(
+            {
+                "date_raw": tds[0].strip(),
+                "author": tds[1],
+                "detail": detail.group(1) if detail else None,
+                "attachment_title": atitle.group(1) if atitle else None,
+                "attachment_url": aurl.group(1) if aurl else None,
+            }
+        )
+    return out
+
+
 def extract_member_raw(pages: DataFrame) -> DataFrame:
     return _extract_kind(pages, "member", _MEMBER_FIELDS, MEMBER_RAW_SCHEMA)
 
@@ -158,6 +202,13 @@ def extract_press_raw(pages: DataFrame) -> DataFrame:
 
 def extract_debate_raw(pages: DataFrame) -> DataFrame:
     return _extract_kind(pages, "debate", _DEBATE_FIELDS, DEBATE_RAW_SCHEMA)
+
+
+def extract_bill_step_raw(pages: DataFrame) -> DataFrame:
+    return _extract_kind(
+        pages, "billstep", _BILL_STEP_FIELDS, BILL_STEP_RAW_SCHEMA,
+        extra=("changes", _parse_changes_table),
+    )
 
 
 # -- folds: ItemLoader output-processor semantics as Column expressions --------
@@ -242,6 +293,51 @@ def fold_debate(raw: DataFrame) -> DataFrame:
         F.array_join(F.transform(F.col("appearance_type"), C.filter_whitespaces), " ").alias("appearance_type"),
         tr["start"].alias("start"),
         tr["end"].alias("end"),
+        F.col("period_num"),
+        F.col("page_url").alias("url"),
+    )
+
+
+def fold_bill_step(raw: DataFrame) -> DataFrame:
+    """BillStepItem fold (items.py:255-302 via bills.py:162-234): identity
+    from the URL QUERY (MasterID→bill_id, WorkitemID→external_id — F9),
+    presence-conditional meeting/coordinator scalars (NULL when the panel is
+    absent), the reference's coordinator-date cleanup — ``.replace(', ','')``
+    then ``.replace('\\xa0','')`` BEFORE strptime (bills.py:184-187) — and
+    the nested ``changes`` array with the date-PREFIX regex
+    ``(\\d+\\. \\d+\\. \\d+).*`` + noon-normalize (bills.py:203-205),
+    document order preserved (no sort — the reference appends in row order)."""
+    coord_raw = _tf("coordinator_meeting_date")
+    coord_clean = F.replace(
+        F.replace(coord_raw, F.lit(", "), F.lit("")), F.lit("\xa0"), F.lit("")
+    )
+    changes = F.transform(
+        F.col("changes"),
+        lambda ch: F.struct(
+            C.parse_date_noon(
+                F.regexp_extract(ch["date_raw"], r"(\d+\. \d+\. \d+).*", 1)
+            ).alias("date"),
+            ch["author"].alias("author"),
+            ch["detail"].alias("detail"),
+            ch["attachment_title"].alias("attachment_title"),
+            ch["attachment_url"].alias("attachment_url"),
+        ),
+    )
+    return raw.select(
+        F.lit("bill_step").alias("type"),
+        F.regexp_extract(F.col("page_url"), r"MasterID=(\d+)", 1).try_cast("long").alias("bill_id"),
+        F.regexp_extract(F.col("page_url"), r"WorkitemID=(\d+)", 1).try_cast("long").alias("external_id"),
+        C.filter_whitespaces(_tf("main_label")).alias("main_label"),
+        C.filter_whitespaces(_tf("body_label")).alias("body_label"),
+        C.try_int(_tf("meeting_session_num")).alias("meeting_session_num"),
+        C.filter_whitespaces(_tf("meeting_resolution")).alias("meeting_resolution"),
+        C.filter_whitespaces(_tf("coordinator_label")).alias("coordinator_label"),
+        C.parse_date_noon(coord_clean).alias("coordinator_meeting_date"),
+        # bills.py:188-190: name only read when the date label exists
+        F.when(coord_raw.isNotNull(), C.filter_whitespaces(_tf("coordinator_name"))).alias("coordinator_name"),
+        C.filter_whitespaces(_tf("step_result")).alias("step_result"),
+        C.filter_whitespaces(_tf("act_num_label")).alias("act_num_label"),
+        changes.alias("changes"),
         F.col("period_num"),
         F.col("page_url").alias("url"),
     )

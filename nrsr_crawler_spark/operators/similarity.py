@@ -96,6 +96,84 @@ def bruteforce_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into centroid
+    cells, probe the query's ``nprobe`` nearest cells, exact cosine + top-k
+    among cell members only.  Same output shape as :func:`bruteforce_topk`.
+
+    Codebook: the quantized vectors of the ``n_centroids`` smallest ids — a
+    deterministic stand-in for k-means training (the pipeline shape is
+    identical with trained centroids).  The codebook is fetched ONCE to the
+    driver and inlined as literals — model state like the LSH planes, not
+    per-row data movement — so cell assignment is pure map-side column
+    expressions: zero shuffle until the bucket join.  Cell distance is
+    integer L2 over :func:`quantize_vec` vectors (exact in any engine,
+    ties→smaller centroid id), which makes the candidate set — and with
+    rounded cosine the full result — DuckDB-oracle-exact.
+
+    Scale shape (10^9 vectors): corpus shards on cell id (one cell per
+    vector), queries broadcast with ``nprobe`` cells each; per-cell work is
+    corpus_size/n_centroids on average, and a trained codebook grows as
+    √n keeping cells bounded."""
+    cent_rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            quantize_vec(_as_double(F.col(vec_col))).alias("cv"),
+        )
+        .collect()
+    )
+    centroids = sorted((int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows)
+
+    def dist_to(qcol: Column, cvec: list[float]) -> Column:
+        lit_c = F.array(*[F.lit(v) for v in cvec])
+        return F.aggregate(
+            F.zip_with(qcol, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    def with_cells(df: DataFrame, idc: str, probes: int) -> DataFrame:
+        out = df.select(F.col(idc), _as_double(F.col(vec_col)).alias("__v")).withColumn(
+            "__q", quantize_vec(F.col("__v"))
+        )
+        dists = F.array(
+            *[
+                F.struct(dist_to(F.col("__q"), cv).alias("d"), F.lit(cid).alias("cid"))
+                for cid, cv in centroids
+            ]
+        )
+        # array_sort on struct<d,cid> orders by (d asc, cid asc) — the tiebreak
+        cells = F.transform(F.slice(F.array_sort(dists), 1, probes), lambda s: s["cid"])
+        return out.select(F.col(idc), "__v", F.explode(cells).alias("cell"))
+
+    qc = broadcast(
+        with_cells(queries, id_col, nprobe).select(
+            F.col(id_col).alias("query_id"), F.col("__v").alias("qv"), "cell"
+        )
+    )
+    cc = with_cells(corpus, id_col, 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("cv"), "cell"
+    )
+    cands = qc.join(cc, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_sim(F.col("qv"), F.col("cv")), sim_decimals).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

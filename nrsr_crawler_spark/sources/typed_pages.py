@@ -174,6 +174,94 @@ def debate_pages(orders: DataFrame, max_key: int = 300) -> DataFrame:
     )
 
 
+def bill_step_pages(orders: DataFrame, max_key: int = 300) -> DataFrame:
+    """Bill-step detail pages from ``orders`` (bills.py:162-234 shape): the
+    MasterID/WorkitemID identity lives in the URL QUERY (F9 — parse_step
+    pulls both from ``response.url``), labelled scalar spans with TWO
+    presence-conditional groups (the ``meeting_panel`` block, bills.py:169-175,
+    and the coordinator date+name pair, bills.py:184-190 — name is only
+    extracted when the date label exists), and the nested CHANGES table
+    (BillStepChangeItem rows, bills.py:198-211) parsed by POSITIONAL ``td``
+    index with a date-PREFIX regex over noisy cell text (bills.py:203-205).
+
+    Derivations (o = o_orderkey): bill_id=o%120+1 (MasterID), external_id=o
+    (WorkitemID); meeting spans present iff o%5≠0 (session=o%50+1,
+    resolution='U-'||o*3%1000); coordinator date present iff o%4≠3 — the raw
+    label carries the reference's ', ' + NBSP noise and pairs with
+    coordinator_name='GV '||o%9; n_changes=o%4, change i∈[1..n]:
+    date=(o+i)%28+1. (o+i)%12+1. 2000+(o+i)%20 (+' - doplnenie' noise),
+    author='A'||(o*7+i)%50, detail/attachment urls from o*10+i."""
+    o = F.col("o_orderkey")
+    meeting = F.when(
+        o % 5 != 0,
+        F.format_string(
+            '<span class="meeting_session_num">%d</span>'
+            '<span class="meeting_resolution">U-%d</span>',
+            (o % 50 + 1).cast("int"), (o * 3 % 1000).cast("int"),
+        ),
+    ).otherwise(F.lit(""))
+    coordinator = F.when(
+        o % 4 != 3,
+        F.format_string(
+            '<span class="coordinator_meeting_date">%d. %d. %d, \xa0</span>'
+            '<span class="coordinator_name">GV %d</span>',
+            (o % 28 + 1).cast("int"), (o % 12 + 1).cast("int"),
+            (o % 15 + 2005).cast("int"), (o % 9).cast("int"),
+        ),
+    ).otherwise(F.lit(""))
+    n_changes = (o % 4).cast("int")
+    change_rows = F.when(
+        n_changes >= 1,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_changes),
+                lambda i: F.format_string(
+                    "<tr><td> %d. %d. %d - doplnenie </td>"
+                    "<td>A%d</td>"
+                    '<td><a href="/web/Default.aspx?sid=zakony/zmena&ID=%d"></a></td>'
+                    "<td><a>Príloha %d</a></td>"
+                    '<td><a href="/web/dok/%d"></a></td></tr>',
+                    ((o + i) % 28 + 1).cast("int"), ((o + i) % 12 + 1).cast("int"),
+                    ((o + i) % 20 + 2000).cast("int"),
+                    ((o * 7 + i) % 50).cast("int"),
+                    (o * 10 + i).cast("int"), i.cast("int"), (o * 10 + i).cast("int"),
+                ),
+            ),
+            "",
+        ),
+    ).otherwise(F.lit(""))
+    changes_table = F.when(
+        n_changes >= 1,
+        F.concat(F.lit('<table id="changes">'), change_rows, F.lit("</table>")),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.format_string(
+            '<div id="billstep" data-period="%d">'
+            '<span class="main_label">Krok %d</span>'
+            '<span class="body_label">Podanie %d</span>',
+            (o % 8 + 1).cast("int"), (o % 7).cast("int"), (o % 5).cast("int"),
+        ),
+        meeting,
+        F.format_string(
+            '<span class="coordinator_label">Výbor %d</span>', (o % 13).cast("int")
+        ),
+        coordinator,
+        F.format_string(
+            '<span class="step_result">výsledok %d</span>'
+            '<span class="act_num_label">%d</span></div>',
+            (o % 4).cast("int"), (o % 300 + 1).cast("int"),
+        ),
+        changes_table,
+    )
+    return orders.filter(o <= max_key).select(
+        F.concat(
+            F.lit(BASE + "Default.aspx?sid=zakony/zakon&MasterID="), (o % 120 + 1),
+            F.lit("&WorkitemID="), o,
+        ).alias("page_url"),
+        _body(html).alias("body"),
+    )
+
+
 def press_pages(part: DataFrame, max_key: int = 400) -> DataFrame:
     """Press detail pages from ``part`` (presses.py shape): press_num=p;
     period=p%8+1; title='Tlač '||p; press_type by p%2; date from p."""

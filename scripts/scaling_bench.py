@@ -91,21 +91,28 @@ def main() -> None:
     )
     out: dict = {"frontier_mult": mult, "levels": [lo, hi], "pairs": []}
     for _ in range(rounds):
-        r_lo = run_level(lo, repo, mult)
-        r_hi = run_level(hi, repo, mult)
+        # ABBA ordering (lo, hi, hi, lo): a lo-then-hi pair under monotone
+        # host-capacity drift biases the ratio (drift helps one level only);
+        # summing the two A and two B measurements cancels linear drift.
+        l1 = run_level(lo, repo, mult)
+        h1 = run_level(hi, repo, mult)
+        h2 = run_level(hi, repo, mult)
+        l2 = run_level(lo, repo, mult)
         ctl_eff = (cpu_control(hi) / cpu_control(lo)) / 4.0
-        eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / 4.0
+        lo_ups = (l1["urls_per_sec"] + l2["urls_per_sec"]) / 2
+        hi_ups = (h1["urls_per_sec"] + h2["urls_per_sec"]) / 2
+        eff = (hi_ups / lo_ups) / 4.0
         out["pairs"].append(
             {
-                f"urls_per_sec_local{lo}": round(r_lo["urls_per_sec"]),
-                f"urls_per_sec_local{hi}": round(r_hi["urls_per_sec"]),
-                "eff": round(eff, 3),
+                f"urls_per_sec_local{lo}": [round(l1["urls_per_sec"]), round(l2["urls_per_sec"])],
+                f"urls_per_sec_local{hi}": [round(h1["urls_per_sec"]), round(h2["urls_per_sec"])],
+                "eff_abba": round(eff, 3),
                 "cpu_control_eff": round(ctl_eff, 3),
                 "eff_normalized": round(min(eff / ctl_eff, 1.0), 3),
             }
         )
-        out["frontier_urls"] = r_lo["frontier_urls"]
-    effs = sorted(p["eff"] for p in out["pairs"])
+        out["frontier_urls"] = l1["frontier_urls"]
+    effs = sorted(p["eff_abba"] for p in out["pairs"])
     out["eff_median"] = effs[len(effs) // 2]
     out["eff_max"] = effs[-1]
     print(json.dumps(out))

@@ -126,3 +126,38 @@ def test_mapcompose_then_fold(spark):
         ).alias("v")
     ).collect()[0].v
     assert got == "Za Proti"
+
+
+# -- positional-td changes-table kernel (bills.py:198-211) --------------------
+
+def test_parse_changes_table_positional_tds():
+    from nrsr_crawler_spark.operators.parse_typed import _parse_changes_table
+
+    html = (
+        '<div id="billstep" data-period="1"></div>'
+        '<table id="changes">'
+        "<tr><td> 5. 3. 2004 - doplnenie </td><td>A7</td>"
+        '<td><a href="/web/Default.aspx?sid=zakony/zmena&ID=11"></a></td>'
+        "<td><a>Príloha 1</a></td>"
+        '<td><a href="/web/dok/11"></a></td></tr>'
+        "<tr><td>29. 12. 2019, späť</td><td>A8</td>"
+        '<td><a href="/d2"></a></td><td><a>P2</a></td><td><a href="/u2"></a></td></tr>'
+        "</table>"
+    )
+    rows = _parse_changes_table(html)
+    assert [r["author"] for r in rows] == ["A7", "A8"]  # document order kept
+    assert rows[0]["date_raw"] == "5. 3. 2004 - doplnenie"
+    assert rows[0]["detail"] == "/web/Default.aspx?sid=zakony/zmena&ID=11"
+    assert rows[0]["attachment_title"] == "Príloha 1"
+    assert rows[0]["attachment_url"] == "/web/dok/11"
+    assert rows[1]["date_raw"] == "29. 12. 2019, späť"
+
+
+def test_parse_changes_table_absent_or_short_rows():
+    from nrsr_crawler_spark.operators.parse_typed import _parse_changes_table
+
+    assert _parse_changes_table("<p>no table</p>") == []
+    # rows with <5 tds are skipped (malformed markup), matching the
+    # reference's implicit requirement of td[1]..td[5]
+    html = '<table id="changes"><tr><td>1. 2. 2003</td><td>A</td></tr></table>'
+    assert _parse_changes_table(html) == []

@@ -41,6 +41,25 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.7, recall
 
 
+def test_ivf_topk_recall_and_candidate_bound(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.bruteforce_topk(emb, queries, k=5)
+    approx = SIM.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # with near-orthogonal random vectors cells are weakly informative; the
+    # point of the bound is that probing half the cells must recover at least
+    # roughly half the true neighbors while scanning far less than the corpus
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, recall
+    # every returned neighbor must come from a probed cell (candidate
+    # soundness): re-derive assignments and check containment
+    n = emb.count()
+    probed = SIM.ivf_topk(emb, queries, k=n, n_centroids=8, nprobe=4)
+    assert a <= {(r["query_id"], r["neighbor_id"]) for r in probed.collect()}
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([("one two  three",), ("",), ("  x ",)], "t string")
     got = [r["n"] for r in df.select(T.token_count(F.col("t")).alias("n")).collect()]
