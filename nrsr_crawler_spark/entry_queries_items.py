@@ -241,6 +241,333 @@ def items_bill_step_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NN = lambda c: F.coalesce(c.cast("string"), F.lit("-"))  # noqa: E731
+
+
+@query(
+    "items_session_program",
+    """
+    WITH att AS (
+        SELECT s_suppkey AS s, i,
+               'dok/' || (s_suppkey * 10 + i) AS href,
+               'https://www.nrsr.sk/web/dok/' || (s_suppkey * 10 + i)
+                   || '|Dokument ' || i AS att_e
+        FROM supplier, (VALUES (1), (2)) t(i)
+        WHERE s_suppkey <= 300 AND i <= s_suppkey % 3
+    ),
+    atta AS (SELECT s, string_agg(href, ';' ORDER BY i) AS urls_str,
+                    string_agg(att_e, ';' ORDER BY i) AS atts_str
+             FROM att GROUP BY s),
+    pr AS (
+        SELECT s_suppkey AS s, i,
+               CASE WHEN (s_suppkey + i) % 3 <> 0 THEN 'Prerokovaný bod' ELSE '-' END AS state,
+               CASE WHEN (s_suppkey + i) % 5 = 0 THEN '-' ELSE CAST(i AS VARCHAR) END AS progpoint,
+               CASE WHEN (s_suppkey + i) % 7 = 0 THEN '-'
+                    ELSE CAST((s_suppkey * 3 + i) % 500 AS VARCHAR) END AS parlpress,
+               'https://www.nrsr.sk/web/Default.aspx?sid=zakony/cpt&ID='
+                   || ((s_suppkey * 3 + i) % 500) AS purl,
+               'T1 ' || i || '/T2 ' || i || '/T3 ' || i AS txt
+        FROM supplier, (VALUES (1), (2), (3)) t(i)
+        WHERE s_suppkey <= 300 AND i <= s_suppkey % 4
+    ),
+    pra AS (SELECT s, COUNT(*) AS n_points,
+                   string_agg(state || '|' || progpoint || '|' || parlpress || '|'
+                              || purl || '|' || txt, ';' ORDER BY i) AS prog_str
+            FROM pr GROUP BY s)
+    SELECT 'session' AS type,
+           s_suppkey AS external_id,
+           'Schôdza ' || s_suppkey AS name,
+           COALESCE(atta.urls_str, '') AS urls_str,
+           COALESCE(atta.atts_str, '') AS atts_str,
+           COALESCE(pra.n_points, 0) AS n_points,
+           COALESCE(pra.prog_str, '') AS prog_str,
+           s_suppkey % 8 + 1 AS period_num
+    FROM supplier
+    LEFT JOIN atta ON atta.s = s_suppkey
+    LEFT JOIN pra ON pra.s = s_suppkey
+    WHERE s_suppkey <= 300
+    """,
+)
+def items_session_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session pages → SessionItem + nested program_points (sessions.py:71-131):
+    attachment (url, name) structs, the ``\\xfd``/dot int cleanups null-on-
+    fail, conditional img-alt state, and the strong/i/plain text TRIPLE —
+    all parsed positionally from the program table."""
+    pages = TP.session_pages(load(spark, sf_dir, "supplier"), max_key=300)
+    d = PT.fold_session(PT.extract_session_raw(pages))
+    prog_str = F.array_join(
+        F.transform(
+            F.col("program_points"),
+            lambda p: F.concat_ws(
+                "|",
+                _NN(p["state"]), _NN(p["progpoint"]), _NN(p["parlpress"]),
+                p["parlpress_url"], F.array_join(p["text"], "/"),
+            ),
+        ),
+        ";",
+    )
+    return d.select(
+        "type",
+        "external_id",
+        "name",
+        F.array_join(F.col("attachments_urls"), ";").alias("urls_str"),
+        F.array_join(
+            F.transform(
+                F.col("attachment_names"),
+                lambda a: F.concat_ws("|", a["url"], a["name"]),
+            ),
+            ";",
+        ).alias("atts_str"),
+        F.size("program_points").cast("long").alias("n_points"),
+        prog_str.alias("prog_str"),
+        "period_num",
+    )
+
+
+@query(
+    "items_committee_members",
+    """
+    WITH m AS (
+        SELECT n_nationkey AS n, i,
+               (CASE WHEN i = 1 THEN 'predseda' ELSE 'člen' END)
+                   || ':' || (n_nationkey * 100 + i) AS m_e
+        FROM nation, (VALUES (1), (2), (3), (4), (5)) t(i)
+        WHERE i <= n_nationkey % 5 + 1
+    ),
+    ma AS (SELECT n, COUNT(*) AS n_members,
+                  string_agg(m_e, ';' ORDER BY i) AS members_str
+           FROM m GROUP BY n)
+    SELECT 'committee' AS type,
+           n_nationkey AS external_id,
+           'Výbor NR SR ' || n_nationkey AS name,
+           'Popis ' || n_nationkey || ' a;Popis ' || n_nationkey || ' b' AS desc_str,
+           ma.n_members, ma.members_str,
+           n_nationkey % 8 + 1 AS period_num
+    FROM nation JOIN ma ON ma.n = n_nationkey
+    """,
+)
+def items_committee_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committee pages → CommitteeItem + nested members (committees.py:45-66):
+    ``<h1>`` name, KEEP-fold description, per-member role + PoslanecID from
+    the profile href."""
+    pages = TP.committee_pages(load(spark, sf_dir, "nation"))
+    d = PT.fold_committee(PT.extract_committee_raw(pages))
+    return d.select(
+        "type",
+        "external_id",
+        "name",
+        F.array_join(F.col("description"), ";").alias("desc_str"),
+        F.size("members").cast("long").alias("n_members"),
+        F.array_join(
+            F.transform(
+                F.col("members"), lambda m: F.concat_ws(":", m["role"], m["external_id"])
+            ),
+            ";",
+        ).alias("members_str"),
+        "period_num",
+    )
+
+
+@query(
+    "items_commsched_points",
+    """
+    WITH sess AS (
+        SELECT c_custkey AS c, j
+        FROM customer, (VALUES (1), (2)) t(j) WHERE c_custkey <= 200
+    ),
+    p AS (
+        SELECT c, j, i,
+               (CASE WHEN (c + i + j) % 7 = 0 THEN '-'
+                     ELSE CAST((c * 3 + i + j) % 500 AS VARCHAR) END)
+                   || ':bod ' || i AS p_e
+        FROM sess, (VALUES (1), (2)) t2(i)
+        WHERE i <= (c + j) % 3
+    ),
+    pa AS (SELECT c, j, COUNT(*) AS n_points,
+                  string_agg(p_e, ';' ORDER BY i) AS points_str
+           FROM p GROUP BY c, j)
+    SELECT 'committeeschedule' AS type,
+           'Výbor NR SR č. ' || (c % 12) AS committee_name,
+           ((c + j) % 28 + 1) || '. ' || ((c + j) % 12 + 1) || '. ' || (2020 + (c + j) % 5) AS "date",
+           ((c + j) % 12 + 8) || ':00' AS "time",
+           'Miestnosť ' || (c % 40) || ';budova NR SR' AS place_str,
+           COALESCE(pa.n_points, 0) AS n_points,
+           COALESCE(pa.points_str, '') AS points_str,
+           c % 8 + 1 AS period_num,
+           'https://www.nrsr.sk/web/Default.aspx?sid=vybory/zasadnutia&ID=' || c AS url
+    FROM sess LEFT JOIN pa USING (c, j)
+    """,
+)
+def items_commsched_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committee-schedule pages → one CommitteeScheduleItem PER SESSION BLOCK
+    (committee_schedules.py:77-111): raw-string date/time natural key,
+    multi-valued place, points with int-cast-null-on-fail press refs — the
+    same points shape the missing_presses anti-join unwinds (J3)."""
+    pages = TP.commsched_pages(load(spark, sf_dir, "customer"), max_key=200)
+    d = PT.fold_commsched(PT.extract_commsched_raw(pages))
+    return d.select(
+        "type",
+        "committee_name",
+        "date",
+        "time",
+        F.array_join(F.col("place"), ";").alias("place_str"),
+        F.size("points").cast("long").alias("n_points"),
+        F.array_join(
+            F.transform(
+                F.col("points"),
+                lambda p: F.concat_ws(
+                    ":", _NN(p["press_num"]), F.element_at(p["text"], 1)
+                ),
+            ),
+            ";",
+        ).alias("points_str"),
+        "period_num",
+        "url",
+    )
+
+
+@query(
+    "items_bill_fold",
+    """
+    SELECT 'bill' AS type,
+           p_partkey AS external_id,
+           CASE WHEN p_partkey % 2 = 0 THEN 'Vláda SR' ELSE 'Poslanci NR SR' END AS proposer,
+           make_timestamp(2010 + p_partkey % 10, p_partkey % 12 + 1,
+                          p_partkey % 28 + 1, 12, 0, 0) AS delivered,
+           CASE WHEN p_partkey % 9 <> 0 THEN p_partkey % 500 END AS press_num,
+           'Stav ' || (p_partkey % 6) AS current_state,
+           'Výsledok ' || (p_partkey % 4) AS current_result,
+           'Kategória ' || (p_partkey % 5) AS category_name,
+           p_partkey % 8 + 1 AS period_num
+    FROM part WHERE p_partkey <= 300
+    """,
+)
+def items_bill_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill pages → BillItem rows (bills.py:97-152): F7 dual-format delivered
+    date (fallback format exercised when p%6=0), absent-span→NULL press."""
+    pages = TP.bill_pages(load(spark, sf_dir, "part"), max_key=300)
+    d = PT.fold_bill(PT.extract_bill_raw(pages))
+    return d.drop("url")
+
+
+@query(
+    "items_member_change_explode",
+    """
+    SELECT 'member_change' AS type,
+           c_custkey * 10 + i AS external_id,
+           make_timestamp(2006 + (c_custkey + i) % 15, (c_custkey + i) % 12 + 1,
+                          (c_custkey + i) % 28 + 1, 12, 0, 0) AS "date",
+           CASE WHEN (c_custkey + i) % 2 = 0 THEN 'Mandát sa uplatňuje'
+                ELSE 'Mandát zaniknutý' END AS change_type,
+           'Dôvod ' || i AS change_reason,
+           c_custkey % 8 + 1 AS period_num
+    FROM customer, (VALUES (1), (2), (3)) t(i)
+    WHERE c_custkey <= 150 AND i <= c_custkey % 3 + 1
+    """,
+)
+def items_member_change_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-change listing pages → one MemberChangeItem PER GRID ROW
+    (member_changes.py:141-159): explode, PoslanecID from the row's anchor,
+    F7 noon date — the 5-column natural key type (pipelines.py:44-51)."""
+    pages = TP.member_change_pages(load(spark, sf_dir, "customer"), max_key=150)
+    d = PT.fold_member_change(PT.extract_member_change_raw(pages))
+    return d.drop("url")
+
+
+@query(
+    "items_amendment_fold",
+    """
+    WITH o AS (SELECT o_orderkey AS o FROM orders WHERE o_orderkey <= 250),
+    subm AS (SELECT o, string_agg('P' || (o * 10 + j), ';' ORDER BY j) AS s
+             FROM o, (VALUES (1), (2)) t(j) WHERE j <= o % 3 GROUP BY o),
+    sgn AS (SELECT o, string_agg('S' || (o * 20 + j), ';' ORDER BY j) AS s
+            FROM o, (VALUES (1), (2), (3)) t(j) WHERE j <= o % 4 GROUP BY o)
+    SELECT 'amendment' AS type,
+           o AS external_id,
+           'F' || (o % 100) || ' S' || o AS submitter,
+           o % 50 + 1 AS session_num,
+           make_timestamp(2012 + o % 10, o % 12 + 1, o % 28 + 1, 12, 0, 0) AS "date",
+           o % 500 AS press_num,
+           COALESCE(subm.s, '') AS other_submitters_str,
+           COALESCE(sgn.s, '') AS signed_members_str,
+           CASE WHEN o % 5 <> 0 THEN (o * 7) % 10000 END AS voting_external_id,
+           o % 8 + 1 AS period_num
+    FROM o LEFT JOIN subm USING (o) LEFT JOIN sgn USING (o)
+    """,
+)
+def items_amendment_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amendment pages → AmendmentItem rows (amendments.py:188-258):
+    lowercase ?id= identity, date-prefix regex over noisy text, KEEP-fold
+    submitter/signature lists, absent-votelink→NULL voting ref."""
+    pages = TP.amendment_pages(load(spark, sf_dir, "orders"), max_key=250)
+    d = PT.fold_amendment(PT.extract_amendment_raw(pages))
+    return d.select(
+        "type", "external_id", "submitter", "session_num", "date", "press_num",
+        F.array_join(F.col("other_submitters"), ";").alias("other_submitters_str"),
+        F.array_join(F.col("signed_members"), ";").alias("signed_members_str"),
+        "voting_external_id", "period_num",
+    )
+
+
+@query(
+    "items_interpellation_fold",
+    """
+    SELECT 'interpellation' AS type,
+           p_partkey AS external_id,
+           CASE WHEN p_partkey % 2 = 0 THEN 'uzavretá' ELSE 'otvorená' END AS status,
+           'F' || (p_partkey % 100) || ' S' || p_partkey AS asked_by,
+           'Interpelácia ' || p_partkey AS description,
+           'minister ' || (p_partkey % 15) AS recipients,
+           make_timestamp(2008 + p_partkey % 12, p_partkey % 12 + 1,
+                          p_partkey % 28 + 1, 12, 0, 0) AS "date",
+           CASE WHEN p_partkey % 7 <> 0 THEN p_partkey % 50 + 1 END AS interpellation_session_num,
+           'minister ' || (p_partkey % 15) AS responded_by,
+           CASE WHEN p_partkey % 8 <> 0 THEN p_partkey % 50 + 2 END AS response_session_num,
+           CASE WHEN p_partkey % 9 <> 0 THEN p_partkey % 500 END AS press_num,
+           p_partkey % 8 + 1 AS period_num
+    FROM part WHERE p_partkey <= 250
+    """,
+)
+def items_interpellation_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpellation pages → InterpellationItem rows
+    (interpellations.py:189-290): F7 dual-format date plus three independent
+    absent-span→NULL int fields."""
+    pages = TP.interpellation_pages(load(spark, sf_dir, "part"), max_key=250)
+    d = PT.fold_interpellation(PT.extract_interpellation_raw(pages))
+    return d.drop("url")
+
+
+@query(
+    "items_hoq_fold",
+    """
+    SELECT 'hour_of_questions' AS type,
+           c_custkey AS external_id,
+           ' ' || (CASE WHEN c_custkey % 2 = 0 THEN 'zodpovedaná'
+                        ELSE 'nezodpovedaná' END) AS status,
+           'F' || (c_custkey % 100) || ' S' || c_custkey AS question_by,
+           CASE WHEN c_custkey % 10 <> 0
+                THEN make_timestamp(2012 + c_custkey % 8, c_custkey % 12 + 1,
+                                    c_custkey % 28 + 1, 12, 0, 0) END AS question_date,
+           CASE WHEN c_custkey % 6 <> 0
+                THEN make_timestamp(2013 + c_custkey % 8, c_custkey % 12 + 1,
+                                    c_custkey % 28 + 1, 12, 0, 0) END AS answer_date,
+           'minister ' || (c_custkey % 15) AS recipient,
+           'Otázka ' || c_custkey AS question,
+           'minister ' || (c_custkey % 15) AS answer_by,
+           'Odpoveď ' || c_custkey AS answer,
+           c_custkey % 8 + 1 AS period_num
+    FROM customer WHERE c_custkey <= 120
+    """,
+)
+def items_hoq_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-questions pages → HourOfQuestionsItem rows
+    (hour_of_questions.py:175-240): the split-on-colon status (UNstripped,
+    line 186) and NBSP-noised dates with absent-span→NULL."""
+    pages = TP.hoq_pages(load(spark, sf_dir, "customer"), max_key=120)
+    d = PT.fold_hoq(PT.extract_hoq_raw(pages))
+    return d.drop("url")
+
+
 @query(
     "items_typed_merge",
     """

@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 from nrsr_crawler_spark.functions import cleaners as C
 
 _SPAN_RE = re.compile(r'<span class="([a-z_]+)">(.*?)</span>', re.S)
-_DIV_RE = re.compile(r'<div id="(member|voting|press|debate|billstep)"[^>]*data-period="(\d+)"')
+_DIV_RE = re.compile(
+    r'<div id="(member|voting|press|debate|billstep|session|committee|commsched'
+    r'|bill|mchange|amendment|interpellation|hoq)"'
+    r'[^>]*data-period="(\d+)"'
+)
 _TR_RE = re.compile(r"<tr>(.*?)</tr>", re.S)
 _CLUB_TD_RE = re.compile(r'<td class="club">(.*?)</td>', re.S)
 _MEMBER_TD_RE = re.compile(r'<td class="member">(.*?)</td>', re.S)
@@ -43,6 +47,23 @@ _HREF_RE = re.compile(r'href="([^"]*)"')
 _CHANGES_TABLE_RE = re.compile(r'<table id="changes">(.*?)</table>', re.S)
 _TD_RE = re.compile(r"<td>(.*?)</td>", re.S)
 _A_TEXT_RE = re.compile(r"<a[^>]*>(.*?)</a>", re.S)
+_PROGRAM_TABLE_RE = re.compile(r'<table id="program">(.*?)</table>', re.S)
+_ATT_RE = re.compile(r'<a class="att" href="([^"]*)">(.*?)</a>', re.S)
+_IMG_ALT_RE = re.compile(r'<img alt="([^"]*)"')
+_STRONG_RE = re.compile(r"<strong[^>]*>(.*?)</strong>", re.S)
+_I_RE = re.compile(r"<i[^>]*>(.*?)</i>", re.S)
+_TAG_RE = re.compile(r"<[^>]+>")
+_H1_RE = re.compile(r"<h1>(.*?)</h1>", re.S)
+_MEMBER_DIV_RE = re.compile(r'<div class="member_name">(.*?)</div>', re.S)
+_SPAN_TEXT_RE = re.compile(r"<span[^>]*>(.*?)</span>", re.S)
+_SESS_RE = re.compile(r'<div class="sess">(.*?)<!--/sess-->', re.S)
+_MCH_TABLE_RE = re.compile(r'<table id="mch">(.*?)</table>', re.S)
+_STATUS_DIV_RE = re.compile(r'<div id="status">(.*?)</div>', re.S)
+_VOTELINK_RE = re.compile(r'<a id="votelink" href="([^"]*)"')
+_DATE_SPAN_RE = re.compile(r'<span class="date">(.*?)</span>', re.S)
+_TIME_RE = re.compile(r'<strong class="time">(.*?)</strong>', re.S)
+_PLACE_RE = re.compile(r'<div class="place">(.*?)</div>', re.S)
+_LI_RE = re.compile(r"<li>(.*?)</li>", re.S)
 
 MEMBER_RAW_SCHEMA = (
     "page_url string, period_num long, external_id array<string>, "
@@ -87,6 +108,67 @@ _BILL_STEP_FIELDS = (
     "coordinator_label", "coordinator_meeting_date", "coordinator_name",
     "step_result", "act_num_label",
 )
+SESSION_RAW_SCHEMA = (
+    "page_url string, period_num long, name array<string>, "
+    "attachments array<struct<href:string, name:string>>, "
+    "program array<struct<state:string, progpoint_raw:string, "
+    "parlpress_raw:string, parlpress_href:string, "
+    "text1:string, text2:string, text3:string>>"
+)
+COMMITTEE_RAW_SCHEMA = (
+    "page_url string, period_num long, description array<string>, "
+    "h1_name string, "
+    "members array<struct<href:string, role:string>>"
+)
+COMMSCHED_RAW_SCHEMA = (
+    "page_url string, period_num long, committee_name array<string>, "
+    "sessions array<struct<date:string, time:string, place:array<string>, "
+    "points:array<struct<press_raw:string, text:string>>>>"
+)
+_BILL_FIELDS = (
+    "proposer", "delivered", "press_num", "current_state", "current_result",
+    "category_name",
+)
+BILL_RAW_SCHEMA = (
+    "page_url string, period_num long, proposer array<string>, "
+    "delivered array<string>, press_num array<string>, "
+    "current_state array<string>, current_result array<string>, "
+    "category_name array<string>"
+)
+MCHANGE_RAW_SCHEMA = (
+    "page_url string, period_num long, "
+    "changes array<struct<date_raw:string, href:string, change_type:string, "
+    "change_reason:string>>"
+)
+_AMEND_FIELDS = ("submitter", "session_num", "date", "press_num")
+AMEND_RAW_SCHEMA = (
+    "page_url string, period_num long, submitter array<string>, "
+    "session_num array<string>, date array<string>, press_num array<string>, "
+    "other_submitters array<string>, signed_members array<string>, "
+    "votelink string"
+)
+_INTERP_FIELDS = (
+    "status", "asked_by", "description", "recipients", "date",
+    "interpellation_session_num", "responded_by", "response_session_num",
+    "press_num",
+)
+INTERP_RAW_SCHEMA = (
+    "page_url string, period_num long, status array<string>, "
+    "asked_by array<string>, description array<string>, "
+    "recipients array<string>, date array<string>, "
+    "interpellation_session_num array<string>, responded_by array<string>, "
+    "response_session_num array<string>, press_num array<string>"
+)
+_HOQ_FIELDS = (
+    "question_by", "question_date", "answer_date", "recipient", "question",
+    "answer_by", "answer",
+)
+HOQ_RAW_SCHEMA = (
+    "page_url string, period_num long, question_by array<string>, "
+    "question_date array<string>, answer_date array<string>, "
+    "recipient array<string>, question array<string>, "
+    "answer_by array<string>, answer array<string>, status_raw string"
+)
 
 
 def _spans(text: str) -> dict[str, list[str]]:
@@ -103,15 +185,18 @@ def _kind_and_period(text: str):
 
 def _extract_kind(pages: DataFrame, kind: str, fields, schema: str, extra=None) -> DataFrame:
     """Shared raw extractor: pages of ``kind`` → one row of multi-valued
-    string arrays per page (document order)."""
+    string arrays per page (document order).  ``extra``: one ``(name, fn)``
+    or a list of them — fn(text) computes a non-span column (nested tables,
+    h1 text, ...)."""
+    extras = [] if extra is None else ([extra] if isinstance(extra, tuple) else list(extra))
 
     def _gen(batches):
         for pdf in batches:
             rows = {"page_url": [], "period_num": []}
             for f in fields:
                 rows[f] = []
-            if extra is not None:
-                rows[extra[0]] = []
+            for name, _ in extras:
+                rows[name] = []
             for url, body in zip(pdf["page_url"], pdf["body"]):
                 if body is None:
                     continue
@@ -124,8 +209,8 @@ def _extract_kind(pages: DataFrame, kind: str, fields, schema: str, extra=None) 
                 rows["period_num"].append(period)
                 for f in fields:
                     rows[f].append(sp.get(f, []))
-                if extra is not None:
-                    rows[extra[0]].append(extra[1](text))
+                for name, fn in extras:
+                    rows[name].append(fn(text))
             if rows["page_url"]:  # empty pandas frames infer float64 for
                 yield pd.DataFrame(rows)  # list columns and break Arrow
 
@@ -185,6 +270,139 @@ def _parse_changes_table(text: str) -> list[dict]:
     return out
 
 
+def _parse_attachments(text: str) -> list[dict]:
+    """sessions.py:83-88: the program-document anchors → (href, name)."""
+    return [{"href": h, "name": n} for h, n in _ATT_RE.findall(text)]
+
+
+def _parse_program_table(text: str) -> list[dict]:
+    """sessions.py:90-130: program-point rows by POSITIONAL td — td1 img alt
+    (state; NULL when no img), td2 noisy progpoint text, td3 anchor
+    (parlpress text + href), td4 strong/i/plain text triple."""
+    m = _PROGRAM_TABLE_RE.search(text)
+    if not m:
+        return []
+    out: list[dict] = []
+    for row in _TR_RE.findall(m.group(1)):
+        tds = _TD_RE.findall(row)
+        if len(tds) < 4:
+            continue
+        alt = _IMG_ALT_RE.search(tds[0])
+        href = _HREF_RE.search(tds[2])
+        press_txt = _A_TEXT_RE.search(tds[2])
+        strongs = _STRONG_RE.findall(tds[3])
+        italics = _I_RE.findall(tds[3])
+        plain = _TAG_RE.sub("", _STRONG_RE.sub("", _I_RE.sub("", tds[3])))
+        out.append(
+            {
+                "state": alt.group(1).strip() if alt else None,
+                "progpoint_raw": tds[1],
+                "parlpress_raw": press_txt.group(1) if press_txt else None,
+                "parlpress_href": href.group(1) if href else None,
+                "text1": " ".join(strongs).strip(),
+                "text2": " ".join(italics).strip(),
+                "text3": plain.strip(),
+            }
+        )
+    return out
+
+
+def _parse_h1(text: str) -> str | None:
+    m = _H1_RE.search(text)
+    return m.group(1) if m else None
+
+
+def _parse_members_list(text: str) -> list[dict]:
+    """committees.py:55-65: member_name blocks → (profile href, role text)."""
+    out: list[dict] = []
+    for block in _MEMBER_DIV_RE.findall(text):
+        href = _HREF_RE.search(block)
+        role = _SPAN_TEXT_RE.search(block)
+        out.append(
+            {
+                "href": href.group(1) if href else None,
+                "role": role.group(1) if role else None,
+            }
+        )
+    return out
+
+
+def _parse_sessions(text: str) -> list[dict]:
+    """committee_schedules.py:84-111: one page yields one item per session
+    block — date/time raw STRINGS (they are the natural key,
+    pipelines.py:123-128), multi-valued place, and the points <ul> where the
+    anchor text is int-cast-null-on-fail later."""
+    out: list[dict] = []
+    for block in _SESS_RE.findall(text):
+        date = _DATE_SPAN_RE.search(block)
+        tm = _TIME_RE.search(block)
+        points = []
+        for li in _LI_RE.findall(block):
+            a = _A_TEXT_RE.search(li)
+            txt = _TAG_RE.sub("", _A_TEXT_RE.sub("", li))
+            points.append(
+                {"press_raw": a.group(1) if a else None, "text": txt.strip()}
+            )
+        out.append(
+            {
+                "date": date.group(1) if date else None,
+                "time": tm.group(1) if tm else None,
+                "place": _PLACE_RE.findall(block),
+                "points": points,
+            }
+        )
+    return out
+
+
+def _parse_mch_rows(text: str) -> list[dict]:
+    """member_changes.py:141-159 kernel: result-grid rows by positional td —
+    td1 date text, td2 anchor href (PoslanecID), td3/td4 type/reason."""
+    m = _MCH_TABLE_RE.search(text)
+    if not m:
+        return []
+    out: list[dict] = []
+    for row in _TR_RE.findall(m.group(1)):
+        tds = _TD_RE.findall(row)
+        if len(tds) < 4:
+            continue
+        href = _HREF_RE.search(tds[1])
+        out.append(
+            {
+                "date_raw": tds[0],
+                "href": href.group(1) if href else None,
+                "change_type": tds[2],
+                "change_reason": tds[3],
+            }
+        )
+    return out
+
+
+def _parse_ul(ul_id: str):
+    ul_re = re.compile(r'<ul id="%s">(.*?)</ul>' % re.escape(ul_id), re.S)
+
+    def fn(text: str) -> list[str]:
+        m = ul_re.search(text)
+        if not m:
+            return []
+        return [
+            s.group(1)
+            for li in _LI_RE.findall(m.group(1))
+            if (s := _SPAN_TEXT_RE.search(li))
+        ]
+
+    return fn
+
+
+def _parse_votelink(text: str) -> str | None:
+    m = _VOTELINK_RE.search(text)
+    return m.group(1) if m else None
+
+
+def _parse_status_div(text: str) -> str | None:
+    m = _STATUS_DIV_RE.search(text)
+    return m.group(1) if m else None
+
+
 def extract_member_raw(pages: DataFrame) -> DataFrame:
     return _extract_kind(pages, "member", _MEMBER_FIELDS, MEMBER_RAW_SCHEMA)
 
@@ -208,6 +426,60 @@ def extract_bill_step_raw(pages: DataFrame) -> DataFrame:
     return _extract_kind(
         pages, "billstep", _BILL_STEP_FIELDS, BILL_STEP_RAW_SCHEMA,
         extra=("changes", _parse_changes_table),
+    )
+
+
+def extract_session_raw(pages: DataFrame) -> DataFrame:
+    return _extract_kind(
+        pages, "session", ("name",), SESSION_RAW_SCHEMA,
+        extra=[("attachments", _parse_attachments), ("program", _parse_program_table)],
+    )
+
+
+def extract_committee_raw(pages: DataFrame) -> DataFrame:
+    return _extract_kind(
+        pages, "committee", ("description",), COMMITTEE_RAW_SCHEMA,
+        extra=[("h1_name", _parse_h1), ("members", _parse_members_list)],
+    )
+
+
+def extract_commsched_raw(pages: DataFrame) -> DataFrame:
+    return _extract_kind(
+        pages, "commsched", ("committee_name",), COMMSCHED_RAW_SCHEMA,
+        extra=[("sessions", _parse_sessions)],
+    )
+
+
+def extract_bill_raw(pages: DataFrame) -> DataFrame:
+    return _extract_kind(pages, "bill", _BILL_FIELDS, BILL_RAW_SCHEMA)
+
+
+def extract_member_change_raw(pages: DataFrame) -> DataFrame:
+    return _extract_kind(
+        pages, "mchange", (), MCHANGE_RAW_SCHEMA,
+        extra=[("changes", _parse_mch_rows)],
+    )
+
+
+def extract_amendment_raw(pages: DataFrame) -> DataFrame:
+    return _extract_kind(
+        pages, "amendment", _AMEND_FIELDS, AMEND_RAW_SCHEMA,
+        extra=[
+            ("other_submitters", _parse_ul("subm")),
+            ("signed_members", _parse_ul("signed")),
+            ("votelink", _parse_votelink),
+        ],
+    )
+
+
+def extract_interpellation_raw(pages: DataFrame) -> DataFrame:
+    return _extract_kind(pages, "interpellation", _INTERP_FIELDS, INTERP_RAW_SCHEMA)
+
+
+def extract_hoq_raw(pages: DataFrame) -> DataFrame:
+    return _extract_kind(
+        pages, "hoq", _HOQ_FIELDS, HOQ_RAW_SCHEMA,
+        extra=[("status_raw", _parse_status_div)],
     )
 
 
@@ -338,6 +610,205 @@ def fold_bill_step(raw: DataFrame) -> DataFrame:
         C.filter_whitespaces(_tf("step_result")).alias("step_result"),
         C.filter_whitespaces(_tf("act_num_label")).alias("act_num_label"),
         changes.alias("changes"),
+        F.col("period_num"),
+        F.col("page_url").alias("url"),
+    )
+
+
+def fold_session(raw: DataFrame) -> DataFrame:
+    """SessionItem fold (sessions.py:71-131): id from the URL query,
+    attachment (url, name) structs with BASE_URL resolve (sessions.py:83-88),
+    and program_points with the reference's noisy int cleanup —
+    ``.replace('\\xfd','').strip().replace('.','')`` for progpoint,
+    ``.replace('\\xfd','').strip()`` for parlpress, both null-on-fail — and
+    the text TRIPLE [strong-join, i-join, plain-join] (sessions.py:96-130)."""
+    base = F.lit("https://www.nrsr.sk/web/")
+    atts = F.col("attachments")
+    prog_int = lambda c: F.replace(  # noqa: E731
+        F.trim(F.replace(c, F.lit("\xfd"), F.lit(""))), F.lit("."), F.lit("")
+    ).try_cast("long")
+    press_int = lambda c: F.trim(F.replace(c, F.lit("\xfd"), F.lit(""))).try_cast("long")  # noqa: E731
+    program = F.transform(
+        F.col("program"),
+        lambda p: F.struct(
+            p["state"].alias("state"),
+            prog_int(p["progpoint_raw"]).alias("progpoint"),
+            press_int(p["parlpress_raw"]).alias("parlpress"),
+            F.concat(base, p["parlpress_href"]).alias("parlpress_url"),
+            F.array(p["text1"], p["text2"], p["text3"]).alias("text"),
+        ),
+    )
+    return raw.select(
+        F.lit("session").alias("type"),
+        F.regexp_extract(F.col("page_url"), r"ID=(\d+)", 1).try_cast("long").alias("external_id"),
+        _tf("name").alias("name"),
+        F.transform(atts, lambda a: a["href"]).alias("attachments_urls"),
+        F.transform(
+            atts,
+            lambda a: F.struct(
+                F.concat(base, a["href"]).alias("url"), F.trim(a["name"]).alias("name")
+            ),
+        ).alias("attachment_names"),
+        program.alias("program_points"),
+        F.col("period_num"),
+        F.col("page_url").alias("url"),
+    )
+
+
+def fold_committee(raw: DataFrame) -> DataFrame:
+    """CommitteeItem fold (committees.py:45-66): id from the URL query,
+    ``//h1`` name stripped, KEEP-fold description list, and the nested
+    members — role stripped + PoslanecID pulled from each member's profile
+    href (committees.py:55-65)."""
+    members = F.transform(
+        F.col("members"),
+        lambda m: F.struct(
+            F.trim(m["role"]).alias("role"),
+            F.regexp_extract(m["href"], r"PoslanecID=(\d+)", 1).try_cast("long").alias("external_id"),
+        ),
+    )
+    return raw.select(
+        F.lit("committee").alias("type"),
+        F.regexp_extract(F.col("page_url"), r"ID=(\d+)", 1).try_cast("long").alias("external_id"),
+        F.trim(F.col("h1_name")).alias("name"),
+        F.col("description"),
+        members.alias("members"),
+        F.col("period_num"),
+        F.col("page_url").alias("url"),
+    )
+
+
+def fold_commsched(raw: DataFrame) -> DataFrame:
+    """CommitteeScheduleItem fold (committee_schedules.py:77-111): one OUTPUT
+    ROW PER SESSION BLOCK (explode — the reference yields one item per
+    session div), date/time kept as RAW STRINGS (they are the natural key,
+    pipelines.py:123-128), multi-valued place, and points with the int-cast-
+    null-on-fail press ref (committee_schedules.py:101-104)."""
+    exploded = raw.select(
+        F.col("page_url"),
+        F.col("period_num"),
+        _tf("committee_name").alias("committee_name"),
+        F.explode(F.col("sessions")).alias("s"),
+    )
+    points = F.transform(
+        F.col("s")["points"],
+        lambda p: F.struct(
+            C.try_int(p["press_raw"]).alias("press_num"),
+            F.array(p["text"]).alias("text"),
+        ),
+    )
+    return exploded.select(
+        F.lit("committeeschedule").alias("type"),
+        F.col("committee_name"),
+        F.col("s")["date"].alias("date"),
+        F.col("s")["time"].alias("time"),
+        F.col("s")["place"].alias("place"),
+        points.alias("points"),
+        F.col("period_num"),
+        F.col("page_url").alias("url"),
+    )
+
+
+def fold_bill(raw: DataFrame) -> DataFrame:
+    """BillItem fold (bills.py:97-152): MasterID identity, F7 dual-format
+    noon date for ``delivered`` (parse_date_noon covers both the primary and
+    the ValueError-fallback format), press_num TakeFirst→int with the
+    absent-span→NULL TypeError path."""
+    return raw.select(
+        F.lit("bill").alias("type"),
+        F.regexp_extract(F.col("page_url"), r"MasterID=(\d+)", 1).try_cast("long").alias("external_id"),
+        _tf("proposer").alias("proposer"),
+        C.parse_date_noon(_tf("delivered")).alias("delivered"),
+        C.try_int(_tf("press_num")).alias("press_num"),
+        _tf("current_state").alias("current_state"),
+        _tf("current_result").alias("current_result"),
+        _tf("category_name").alias("category_name"),
+        F.col("period_num"),
+        F.col("page_url").alias("url"),
+    )
+
+
+def fold_member_change(raw: DataFrame) -> DataFrame:
+    """MemberChangeItem fold (member_changes.py:141-159): EXPLODE the result
+    grid — one output row per change row — external_id from the td2 anchor's
+    PoslanecID param, F7 noon date, type/reason text."""
+    exploded = raw.select(
+        "page_url", "period_num", F.explode(F.col("changes")).alias("ch")
+    )
+    return exploded.select(
+        F.lit("member_change").alias("type"),
+        F.regexp_extract(F.col("ch")["href"], r"PoslanecID=(\d+)", 1)
+        .try_cast("long")
+        .alias("external_id"),
+        C.parse_date_noon(F.col("ch")["date_raw"]).alias("date"),
+        F.col("ch")["change_type"].alias("change_type"),
+        F.col("ch")["change_reason"].alias("change_reason"),
+        F.col("period_num"),
+        F.col("page_url").alias("url"),
+    )
+
+
+def fold_amendment(raw: DataFrame) -> DataFrame:
+    """AmendmentItem fold (amendments.py:188-258): LOWERCASE ``id`` query
+    param, the date-PREFIX regex over noisy text (amendments.py:233-236),
+    KEEP-fold submitter/signature lists, voting_external_id from the link's
+    ?ID= — NULL when the link is absent (amendments.py:243-250)."""
+    return raw.select(
+        F.lit("amendment").alias("type"),
+        F.regexp_extract(F.col("page_url"), r"[?&]id=(\d+)", 1).try_cast("long").alias("external_id"),
+        _tf("submitter").alias("submitter"),
+        C.try_int(_tf("session_num")).alias("session_num"),
+        C.parse_date_noon(
+            F.regexp_extract(_tf("date"), r"(\d+\. \d+\. \d+).*", 1)
+        ).alias("date"),
+        C.try_int(_tf("press_num")).alias("press_num"),
+        F.col("other_submitters"),
+        F.col("signed_members"),
+        F.regexp_extract(F.col("votelink"), r"ID=(\d+)", 1).try_cast("long").alias("voting_external_id"),
+        F.col("period_num"),
+        F.col("page_url").alias("url"),
+    )
+
+
+def fold_interpellation(raw: DataFrame) -> DataFrame:
+    """InterpellationItem fold (interpellations.py:189-290): flat TakeFirst
+    spans, F7 dual-format noon date, three independent int-null-on-fail
+    session/press refs (absent span → NULL, the TypeError path)."""
+    return raw.select(
+        F.lit("interpellation").alias("type"),
+        F.regexp_extract(F.col("page_url"), r"ID=(\d+)", 1).try_cast("long").alias("external_id"),
+        _tf("status").alias("status"),
+        _tf("asked_by").alias("asked_by"),
+        _tf("description").alias("description"),
+        _tf("recipients").alias("recipients"),
+        C.parse_date_noon(_tf("date")).alias("date"),
+        C.try_int(_tf("interpellation_session_num")).alias("interpellation_session_num"),
+        _tf("responded_by").alias("responded_by"),
+        C.try_int(_tf("response_session_num")).alias("response_session_num"),
+        C.try_int(_tf("press_num")).alias("press_num"),
+        F.col("period_num"),
+        F.col("page_url").alias("url"),
+    )
+
+
+def fold_hoq(raw: DataFrame) -> DataFrame:
+    """HourOfQuestionsItem fold (hour_of_questions.py:175-240): MasterID
+    identity, status = ``text.split(':')[1]`` of the status div (the
+    split-on-colon F13, line 186 — NOT stripped, matching the reference),
+    and the two NBSP-noised dates — ``replace('\\xa0','')`` before parse,
+    NULL when the span is absent."""
+    d = lambda col: C.parse_date_noon(F.replace(_tf(col), F.lit("\xa0"), F.lit("")))  # noqa: E731
+    return raw.select(
+        F.lit("hour_of_questions").alias("type"),
+        F.regexp_extract(F.col("page_url"), r"MasterID=(\d+)", 1).try_cast("long").alias("external_id"),
+        F.element_at(F.split(F.col("status_raw"), ":"), 2).alias("status"),
+        _tf("question_by").alias("question_by"),
+        d("question_date").alias("question_date"),
+        d("answer_date").alias("answer_date"),
+        _tf("recipient").alias("recipient"),
+        _tf("question").alias("question"),
+        _tf("answer_by").alias("answer_by"),
+        _tf("answer").alias("answer"),
         F.col("period_num"),
         F.col("page_url").alias("url"),
     )

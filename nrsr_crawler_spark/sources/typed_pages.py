@@ -262,6 +262,411 @@ def bill_step_pages(orders: DataFrame, max_key: int = 300) -> DataFrame:
     )
 
 
+def session_pages(supplier: DataFrame, max_key: int = 300) -> DataFrame:
+    """Session detail pages from ``supplier`` (sessions.py:71-131 shape):
+    ?ID= identity, program-document anchors, and the program table whose rows
+    carry the reference's noise — ``\\xfd`` + trailing dot in the progpoint
+    cell, ``\\xfd`` in the parlpress anchor, img-alt state only on some rows,
+    and the strong/i/plain text triple in td4.
+
+    Derivations (s = s_suppkey): name='Schôdza '||s; attachments i∈[1..s%3]
+    href='dok/'||s*10+i name='Dokument '||i; program rows i∈[1..s%4]:
+    state present iff (s+i)%3≠0, progpoint=i but UNPARSEABLE when (s+i)%5=0,
+    parlpress=(s*3+i)%500 but 'bez' (→NULL) when (s+i)%7=0."""
+    s = F.col("s_suppkey")
+    atts = F.when(
+        (s % 3).cast("int") >= 1,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), (s % 3).cast("int")),
+                lambda i: F.format_string(
+                    '<a class="att" href="dok/%d"> Dokument %d </a>',
+                    (s * 10 + i).cast("int"), i.cast("int"),
+                ),
+            ),
+            "",
+        ),
+    ).otherwise(F.lit(""))
+
+    def prog_row(i):
+        state_td = F.when(
+            (s + i) % 3 != 0, F.lit('<img alt=" Prerokovaný bod "/>')
+        ).otherwise(F.lit(""))
+        pp = F.when((s + i) % 5 == 0, F.lit("x")).otherwise(i.cast("string"))
+        press = ((s * 3 + i) % 500).cast("int")
+        ptxt = F.when((s + i) % 7 == 0, F.lit("bez")).otherwise(press.cast("string"))
+        return F.concat(
+            F.lit("<tr><td>"), state_td, F.lit("</td>"),
+            F.lit("<td> "), pp, F.lit("\xfd. </td>"),
+            F.format_string('<td><a href="Default.aspx?sid=zakony/cpt&ID=%d">', press),
+            ptxt, F.lit("\xfd</a></td>"),
+            F.format_string(
+                "<td><strong>T1 %d</strong><i>T2 %d</i>T3 %d</td></tr>",
+                i.cast("int"), i.cast("int"), i.cast("int"),
+            ),
+        )
+
+    program = F.when(
+        (s % 4).cast("int") >= 1,
+        F.concat(
+            F.lit('<table id="program">'),
+            F.array_join(
+                F.transform(F.sequence(F.lit(1), (s % 4).cast("int")), prog_row), ""
+            ),
+            F.lit("</table>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.format_string(
+            '<div id="session" data-period="%d">'
+            '<span class="name">Schôdza %d</span>',
+            (s % 8 + 1).cast("int"), s,
+        ),
+        atts,
+        program,
+        F.lit("</div>"),
+    )
+    return supplier.filter(s <= max_key).select(
+        F.concat(F.lit(BASE + "Default.aspx?sid=schodze/schodza&ID="), s).alias("page_url"),
+        _body(html).alias("body"),
+    )
+
+
+def committee_pages(nation: DataFrame) -> DataFrame:
+    """Committee detail pages from ``nation`` (committees.py:45-66 shape):
+    ?ID= identity, ``<h1>`` name (stripped), KEEP-fold description spans, and
+    the nested member list — each block carries the member's profile href
+    (PoslanecID pulled from the query) and a role span.
+
+    Derivations (n = n_nationkey): members i∈[1..n%5+1] with
+    external_id=n*100+i, role='predseda' for i=1 else 'člen'."""
+    n = F.col("n_nationkey")
+    members = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (n % 5 + 1).cast("int")),
+            lambda i: F.concat(
+                F.format_string(
+                    '<div class="member_name">'
+                    '<a href="/web/Default.aspx?sid=poslanci/poslanec&PoslanecID=%d"></a>',
+                    (n * 100 + i).cast("int"),
+                ),
+                F.lit("<span> "),
+                F.when(i == 1, F.lit("predseda")).otherwise(F.lit("člen")),
+                F.lit(" </span></div>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.format_string(
+            '<div id="committee" data-period="%d">'
+            "<h1> Výbor NR SR %d </h1>"
+            '<span class="description">Popis %d a</span>'
+            '<span class="description">Popis %d b</span>',
+            (n % 8 + 1).cast("int"), n, n, n,
+        ),
+        members,
+        F.lit("</div>"),
+    )
+    return nation.select(
+        F.concat(F.lit(BASE + "Default.aspx?sid=vybory/vybor&ID="), n).alias("page_url"),
+        _body(html).alias("body"),
+    )
+
+
+def commsched_pages(customer: DataFrame, max_key: int = 200) -> DataFrame:
+    """Committee-schedule pages from ``customer``
+    (committee_schedules.py:77-111 shape): ONE PAGE → TWO session blocks
+    (the reference yields one item per session div), date/time raw strings
+    (the natural key), two place lines, and a points <ul> whose anchor text
+    int-casts null-on-fail.
+
+    Derivations (c = c_custkey, j∈{1,2}): date=(c+j)%28+1. (c+j)%12+1.
+    2020+(c+j)%5; time=((c+j)%12+8)||':00'; points i∈[1..(c+j)%3] with
+    press=(c*3+i+j)%500 but 'bez tlače' (→NULL) when (c+i+j)%7=0."""
+    c = F.col("c_custkey")
+
+    def sess_block(j):
+        points = F.when(
+            ((c + j) % 3).cast("int") >= 1,
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), ((c + j) % 3).cast("int")),
+                    lambda i: F.concat(
+                        F.lit("<li><a>"),
+                        F.when(
+                            (c + i + j) % 7 == 0, F.lit("bez tlače")
+                        ).otherwise(((c * 3 + i + j) % 500).cast("string")),
+                        F.format_string("</a> bod %d</li>", i.cast("int")),
+                    ),
+                ),
+                "",
+            ),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.format_string(
+                '<div class="sess"><span class="date">%d. %d. %d</span>'
+                '<strong class="time">%d:00</strong>'
+                '<div class="place">Miestnosť %d</div>'
+                '<div class="place">budova NR SR</div>'
+                '<ul class="points">',
+                ((c + j) % 28 + 1).cast("int"), ((c + j) % 12 + 1).cast("int"),
+                ((c + j) % 5 + 2020).cast("int"), ((c + j) % 12 + 8).cast("int"),
+                (c % 40).cast("int"),
+            ),
+            points,
+            F.lit("</ul></div><!--/sess-->"),
+        )
+
+    html = F.concat(
+        F.format_string(
+            '<div id="commsched" data-period="%d">'
+            '<h3><span class="committee_name">Výbor NR SR č. %d</span></h3>',
+            (c % 8 + 1).cast("int"), (c % 12).cast("int"),
+        ),
+        sess_block(F.lit(1)),
+        sess_block(F.lit(2)),
+        F.lit("</div>"),
+    )
+    return customer.filter(c <= max_key).select(
+        F.concat(F.lit(BASE + "Default.aspx?sid=vybory/zasadnutia&ID="), c).alias("page_url"),
+        _body(html).alias("body"),
+    )
+
+
+def bill_pages(part: DataFrame, max_key: int = 300) -> DataFrame:
+    """Bill detail pages from ``part`` (bills.py:97-152 parse_item shape):
+    MasterID identity in the URL query, the F7 date in BOTH reference
+    formats — 'd. m. yyyy' normally, 'd.m.yyyy' when p%6=0 (the ValueError
+    fallback, bills.py:114-121) — and a press span ABSENT when p%9=0 (the
+    TypeError→None path, bills.py:123-128)."""
+    p = F.col("p_partkey")
+    delivered = F.when(
+        p % 6 == 0,
+        F.format_string(
+            "%d.%d.%d", (p % 28 + 1).cast("int"), (p % 12 + 1).cast("int"),
+            (p % 10 + 2010).cast("int"),
+        ),
+    ).otherwise(
+        F.format_string(
+            "%d. %d. %d", (p % 28 + 1).cast("int"), (p % 12 + 1).cast("int"),
+            (p % 10 + 2010).cast("int"),
+        )
+    )
+    press = F.when(
+        p % 9 != 0,
+        F.format_string('<span class="press_num">%d</span>', (p % 500).cast("int")),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.format_string(
+            '<div id="bill" data-period="%d">'
+            '<span class="proposer">%s</span>'
+            '<span class="delivered">', (p % 8 + 1).cast("int"),
+            F.when(p % 2 == 0, F.lit("Vláda SR")).otherwise(F.lit("Poslanci NR SR")),
+        ),
+        delivered,
+        F.lit("</span>"),
+        press,
+        F.format_string(
+            '<span class="current_state">Stav %d</span>'
+            '<span class="current_result">Výsledok %d</span>'
+            '<span class="category_name">Kategória %d</span></div>',
+            (p % 6).cast("int"), (p % 4).cast("int"), (p % 5).cast("int"),
+        ),
+    )
+    return part.filter(p <= max_key).select(
+        F.concat(F.lit(BASE + "Default.aspx?sid=zakony/zakon&MasterID="), p).alias("page_url"),
+        _body(html).alias("body"),
+    )
+
+
+def member_change_pages(customer: DataFrame, max_key: int = 150) -> DataFrame:
+    """Member-change listing pages from ``customer``
+    (member_changes.py:141-159 shape): ONE PAGE → MANY change rows from a
+    result grid — per row the member id lives in the td2 anchor's
+    PoslanecID query param, td1 is the F7 date, td3/td4 the change
+    type/reason.  Rows i∈[1..c%3+1], external_id=c*10+i."""
+    c = F.col("c_custkey")
+    rows = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (c % 3 + 1).cast("int")),
+            lambda i: F.format_string(
+                "<tr><td>%d. %d. %d</td>"
+                '<td><a href="/web/Default.aspx?sid=poslanci/poslanec&PoslanecID=%d">F S</a></td>'
+                "<td>%s</td><td>Dôvod %d</td></tr>",
+                ((c + i) % 28 + 1).cast("int"), ((c + i) % 12 + 1).cast("int"),
+                ((c + i) % 15 + 2006).cast("int"),
+                (c * 10 + i).cast("int"),
+                F.when((c + i) % 2 == 0, F.lit("Mandát sa uplatňuje")).otherwise(
+                    F.lit("Mandát zaniknutý")
+                ),
+                i.cast("int"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.format_string('<div id="mchange" data-period="%d">', (c % 8 + 1).cast("int")),
+        F.lit('<table id="mch">'), rows, F.lit("</table></div>"),
+    )
+    return customer.filter(c <= max_key).select(
+        F.concat(F.lit(BASE + "Default.aspx?sid=poslanci/zmeny&PeriodID="), c).alias("page_url"),
+        _body(html).alias("body"),
+    )
+
+
+def amendment_pages(orders: DataFrame, max_key: int = 250) -> DataFrame:
+    """Amendment detail pages from ``orders`` (amendments.py:188-258 shape):
+    LOWERCASE ``id`` query param, submitter/session/date grid (the date
+    carries trailing noise prefix-matched by ``(\\d+\\. \\d+\\. \\d+).*``,
+    amendments.py:233-236), other_submitters + signed_members <li> lists,
+    and the voting link (?ID=) present iff o%5≠0."""
+    o = F.col("o_orderkey")
+
+    def li_list(ul_id: str, n, fmt: str, base):
+        return F.when(
+            n >= 1,
+            F.concat(
+                F.format_string('<ul id="%s">', F.lit(ul_id)),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), n),
+                        lambda i: F.format_string(
+                            "<li><span>" + fmt + "</span></li>", (base + i).cast("int")
+                        ),
+                    ),
+                    "",
+                ),
+                F.lit("</ul>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    votelink = F.when(
+        o % 5 != 0,
+        F.format_string(
+            '<a id="votelink" href="/web/Default.aspx?sid=schodze/hlasovanie&ID=%d"></a>',
+            ((o * 7) % 10000).cast("int"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.format_string(
+            '<div id="amendment" data-period="%d">'
+            '<span class="submitter">F%d S%d</span>'
+            '<span class="session_num">%d</span>'
+            '<span class="date">%d. %d. %d o 10:00</span>'
+            '<span class="press_num">%d</span>',
+            (o % 8 + 1).cast("int"), (o % 100).cast("int"), o,
+            (o % 50 + 1).cast("int"),
+            (o % 28 + 1).cast("int"), (o % 12 + 1).cast("int"), (o % 10 + 2012).cast("int"),
+            (o % 500).cast("int"),
+        ),
+        li_list("subm", (o % 3).cast("int"), "P%d", o * 10),
+        li_list("signed", (o % 4).cast("int"), "S%d", o * 20),
+        votelink,
+        F.lit("</div>"),
+    )
+    return orders.filter(o <= max_key).select(
+        F.concat(F.lit(BASE + "Default.aspx?sid=zakony/pdn&id="), o).alias("page_url"),
+        _body(html).alias("body"),
+    )
+
+
+def interpellation_pages(part: DataFrame, max_key: int = 250) -> DataFrame:
+    """Interpellation detail pages from ``part``
+    (interpellations.py:189-290 shape): flat labelled spans with the F7
+    dual-format date (fallback format when p%6=0) and three independent
+    int-null-on-fail fields whose spans are conditionally ABSENT
+    (interpellation_session_num p%7=0, response_session_num p%8=0,
+    press_num p%9=0 — the TypeError path)."""
+    p = F.col("p_partkey")
+    date = F.when(
+        p % 6 == 0,
+        F.format_string(
+            "%d.%d.%d", (p % 28 + 1).cast("int"), (p % 12 + 1).cast("int"),
+            (p % 12 + 2008).cast("int"),
+        ),
+    ).otherwise(
+        F.format_string(
+            "%d. %d. %d", (p % 28 + 1).cast("int"), (p % 12 + 1).cast("int"),
+            (p % 12 + 2008).cast("int"),
+        )
+    )
+    opt = lambda cond, cls, val: F.when(  # noqa: E731
+        cond, F.format_string('<span class="%s">%d</span>', F.lit(cls), val.cast("int"))
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.format_string(
+            '<div id="interpellation" data-period="%d">'
+            '<span class="status">%s</span>'
+            '<span class="asked_by">F%d S%d</span>'
+            '<span class="description">Interpelácia %d</span>'
+            '<span class="recipients">minister %d</span>'
+            '<span class="date">',
+            (p % 8 + 1).cast("int"),
+            F.when(p % 2 == 0, F.lit("uzavretá")).otherwise(F.lit("otvorená")),
+            (p % 100).cast("int"), p, p, (p % 15).cast("int"),
+        ),
+        date,
+        F.lit("</span>"),
+        opt(p % 7 != 0, "interpellation_session_num", p % 50 + 1),
+        F.format_string('<span class="responded_by">minister %d</span>', (p % 15).cast("int")),
+        opt(p % 8 != 0, "response_session_num", p % 50 + 2),
+        opt(p % 9 != 0, "press_num", p % 500),
+        F.lit("</div>"),
+    )
+    return part.filter(p <= max_key).select(
+        F.concat(F.lit(BASE + "Default.aspx?sid=zakony/interpelacia&ID="), p).alias("page_url"),
+        _body(html).alias("body"),
+    )
+
+
+def hoq_pages(customer: DataFrame, max_key: int = 120) -> DataFrame:
+    """Hour-of-questions pages from ``customer``
+    (hour_of_questions.py:175-240 shape): MasterID identity, the status DIV
+    whose value is ``text.split(':')[1]`` (the split-on-colon F13,
+    hour_of_questions.py:186), and the two dates carrying a trailing NBSP
+    stripped by ``.replace('\\xa0','')`` before strptime — each date span
+    conditionally ABSENT (question c%10=0, answer c%6=0 → None)."""
+    c = F.col("c_custkey")
+
+    def date_span(cond, cls, year_base):
+        return F.when(
+            cond,
+            F.concat(
+                F.format_string(
+                    '<span class="%s">%d. %d. %d', F.lit(cls),
+                    (c % 28 + 1).cast("int"), (c % 12 + 1).cast("int"),
+                    (c % 8 + year_base).cast("int"),
+                ),
+                F.lit("\xa0</span>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.format_string(
+            '<div id="hoq" data-period="%d">'
+            '<div id="status">Stav: %s</div>'
+            '<span class="question_by">F%d S%d</span>',
+            (c % 8 + 1).cast("int"),
+            F.when(c % 2 == 0, F.lit("zodpovedaná")).otherwise(F.lit("nezodpovedaná")),
+            (c % 100).cast("int"), c,
+        ),
+        date_span(c % 10 != 0, "question_date", F.lit(2012)),
+        date_span(c % 6 != 0, "answer_date", F.lit(2013)),
+        F.format_string(
+            '<span class="recipient">minister %d</span>'
+            '<span class="question">Otázka %d</span>'
+            '<span class="answer_by">minister %d</span>'
+            '<span class="answer">Odpoveď %d</span></div>',
+            (c % 15).cast("int"), c, (c % 15).cast("int"), c,
+        ),
+    )
+    return customer.filter(c <= max_key).select(
+        F.concat(F.lit(BASE + "Default.aspx?sid=schodze/otazky&MasterID="), c).alias("page_url"),
+        _body(html).alias("body"),
+    )
+
+
 def press_pages(part: DataFrame, max_key: int = 400) -> DataFrame:
     """Press detail pages from ``part`` (presses.py shape): press_num=p;
     period=p%8+1; title='Tlač '||p; press_type by p%2; date from p."""

@@ -161,3 +161,90 @@ def test_parse_changes_table_absent_or_short_rows():
     # reference's implicit requirement of td[1]..td[5]
     html = '<table id="changes"><tr><td>1. 2. 2003</td><td>A</td></tr></table>'
     assert _parse_changes_table(html) == []
+
+
+def test_parse_program_table_kernel():
+    from nrsr_crawler_spark.operators.parse_typed import _parse_program_table
+
+    html = (
+        '<div id="session" data-period="1"></div>'
+        '<table id="program">'
+        '<tr><td><img alt=" Prerokovaný bod "/></td><td> 1\xfd. </td>'
+        '<td><a href="Default.aspx?sid=zakony/cpt&ID=77">77\xfd</a></td>'
+        "<td><strong>T1 1</strong><i>T2 1</i>T3 1</td></tr>"
+        "<tr><td></td><td> x\xfd. </td>"
+        '<td><a href="Default.aspx?sid=zakony/cpt&ID=78">bez\xfd</a></td>'
+        "<td><strong>T1 2</strong><i>T2 2</i>T3 2</td></tr>"
+        "</table>"
+    )
+    rows = _parse_program_table(html)
+    assert rows[0]["state"] == "Prerokovaný bod" and rows[1]["state"] is None
+    assert rows[0]["progpoint_raw"] == " 1\xfd. "
+    assert rows[0]["parlpress_raw"] == "77\xfd" and rows[1]["parlpress_raw"] == "bez\xfd"
+    assert rows[0]["parlpress_href"] == "Default.aspx?sid=zakony/cpt&ID=77"
+    assert rows[0]["text1"] == "T1 1" and rows[0]["text2"] == "T2 1" and rows[0]["text3"] == "T3 1"
+
+
+def test_parse_members_and_sessions_kernels():
+    from nrsr_crawler_spark.operators.parse_typed import (
+        _parse_members_list,
+        _parse_sessions,
+    )
+
+    html = (
+        '<div class="member_name"><a href="/p?PoslanecID=501"></a><span> predseda </span></div>'
+        '<div class="member_name"><a href="/p?PoslanecID=502"></a><span> člen </span></div>'
+    )
+    ms = _parse_members_list(html)
+    assert [(m["href"], m["role"].strip()) for m in ms] == [
+        ("/p?PoslanecID=501", "predseda"), ("/p?PoslanecID=502", "člen"),
+    ]
+
+    sess_html = (
+        '<div class="sess"><span class="date">5. 3. 2021</span>'
+        '<strong class="time">9:00</strong>'
+        '<div class="place">Miestnosť 12</div><div class="place">budova NR SR</div>'
+        '<ul class="points"><li><a>123</a> bod 1</li><li><a>bez tlače</a> bod 2</li></ul>'
+        "</div><!--/sess-->"
+        '<div class="sess"><span class="date">6. 3. 2021</span>'
+        '<strong class="time">10:00</strong><ul class="points"></ul></div><!--/sess-->'
+    )
+    ss = _parse_sessions(sess_html)
+    assert len(ss) == 2
+    assert ss[0]["date"] == "5. 3. 2021" and ss[0]["time"] == "9:00"
+    assert ss[0]["place"] == ["Miestnosť 12", "budova NR SR"]
+    assert [(p["press_raw"], p["text"]) for p in ss[0]["points"]] == [
+        ("123", "bod 1"), ("bez tlače", "bod 2"),
+    ]
+    assert ss[1]["points"] == [] and ss[1]["place"] == []
+
+
+def test_parse_mch_ul_status_kernels():
+    from nrsr_crawler_spark.operators.parse_typed import (
+        _parse_mch_rows,
+        _parse_status_div,
+        _parse_ul,
+        _parse_votelink,
+    )
+
+    mch = (
+        '<table id="mch">'
+        '<tr><td>5. 3. 2010</td><td><a href="/p?PoslanecID=42">F S</a></td>'
+        "<td>Mandát zaniknutý</td><td>Dôvod 1</td></tr>"
+        "</table>"
+    )
+    rows = _parse_mch_rows(mch)
+    assert rows == [{
+        "date_raw": "5. 3. 2010", "href": "/p?PoslanecID=42",
+        "change_type": "Mandát zaniknutý", "change_reason": "Dôvod 1",
+    }]
+    assert _parse_mch_rows("<p>none</p>") == []
+
+    ul = '<ul id="subm"><li><span>P1</span></li><li><span>P2</span></li></ul>'
+    assert _parse_ul("subm")(ul) == ["P1", "P2"]
+    assert _parse_ul("signed")(ul) == []
+
+    assert _parse_status_div('<div id="status">Stav: zodpovedaná</div>') == "Stav: zodpovedaná"
+    assert _parse_status_div("<div>x</div>") is None
+    assert _parse_votelink('<a id="votelink" href="/h?ID=9"></a>') == "/h?ID=9"
+    assert _parse_votelink("") is None
