@@ -187,8 +187,15 @@ def _extract_kind(pages: DataFrame, kind: str, fields, schema: str, extra=None) 
     """Shared raw extractor: pages of ``kind`` → one row of multi-valued
     string arrays per page (document order).  ``extra``: one ``(name, fn)``
     or a list of them — fn(text) computes a non-span column (nested tables,
-    h1 text, ...)."""
+    h1 text, ...).
+
+    A JVM-side ``contains`` prefilter on the dialect marker (the closing
+    quote excludes prefix dialects, e.g. bill vs billstep) keeps other
+    dialects' bodies out of the Arrow transfer entirely — with K dialects
+    extracted per epoch this cuts serialized bytes K× versus shipping every
+    body to every kernel; the kernel still re-checks the anchored marker."""
     extras = [] if extra is None else ([extra] if isinstance(extra, tuple) else list(extra))
+    marker = f'<div id="{kind}"'
 
     def _gen(batches):
         for pdf in batches:
@@ -214,7 +221,11 @@ def _extract_kind(pages: DataFrame, kind: str, fields, schema: str, extra=None) 
             if rows["page_url"]:  # empty pandas frames infer float64 for
                 yield pd.DataFrame(rows)  # list columns and break Arrow
 
-    return pages.select("page_url", "body").mapInPandas(_gen, schema=schema)
+    return (
+        pages.select("page_url", "body")
+        .filter(F.contains(F.col("body").cast("string"), F.lit(marker)))
+        .mapInPandas(_gen, schema=schema)
+    )
 
 
 def _parse_votes_table(text: str) -> list[dict]:

@@ -393,7 +393,7 @@ class CrawlEngine:
                     ("items_voting", PT.fold_voting(PT.extract_voting_raw(typed_pages))),
                     ("items_press", PT.fold_press(PT.extract_press_raw(typed_pages))),
                 ]
-            with ThreadPoolExecutor(max_workers=4) as pool:
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
                 futs = [
                     pool.submit(self.lake.write_delta, table, df, epoch)
                     for table, df in writes
