@@ -270,3 +270,37 @@ def o2_ordered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select(
         "c_nationkey", "c_custkey", F.row_number().over(w).alias("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# J4 (cuckoo regime): seen-set dedup through the partitioned cuckoo filter —
+# the third pluggable dupefilter (SURVEY §2.10; reference DUPEFILTER_CLASS,
+# settings.py:114) — INCLUDING the operation Bloom cannot express: expiring
+# keys so the scheduler re-enqueues them (recrawl/TTL).  Seen = orders
+# divisible by 3; expired back out = orders divisible by 9.  The cuckoo
+# probe has zero false negatives and survivors are exact-checked, so the
+# result is set-equal to the arithmetic oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "j4_cuckoo_dedup",
+    """
+    SELECT o_orderkey
+    FROM orders
+    WHERE o_orderkey % 3 <> 0 OR o_orderkey % 9 = 0
+    """,
+)
+def j4_cuckoo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators import cuckoo as CK
+
+    orders = load(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://www.nrsr.sk/web/Default.aspx?sid=schodze/hlasovanie&ID="),
+        F.col("o_orderkey"),
+    )
+    cand = orders.select("o_orderkey", F.xxhash64(url).alias("url_hash"))
+    seen0 = cand.filter(F.col("o_orderkey") % 3 == 0).select("url_hash")
+    expired = cand.filter(F.col("o_orderkey") % 9 == 0).select("url_hash")
+    segs = CK.build_cuckoo_segments(seen0, n_segments=8, n_buckets=1 << 10)
+    segs = CK.delete_cuckoo(segs, expired, n_segments=8)
+    seen = seen0.join(expired, "url_hash", "left_anti")
+    return CK.dedup_with_cuckoo(cand, seen, segs, n_segments=8).select("o_orderkey")
