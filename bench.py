@@ -38,6 +38,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "text_quality",
     "items_voting_votes",  # typed HTML parse → fold → nested votes pipeline
+    "images_phash_neardup",  # image near-dup: banded Hamming join on phash
 ]
 
 

@@ -496,3 +496,54 @@ def images_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = frontier.dedup_against_seen(cand, seen)
     popped = politeness.pop_budget(fresh, budget=50, tiebreak=[F.col("canon_url")])
     return popped.select("canon_url", "seq", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup by perceptual-hash Hamming ball (input_hint phash column):
+# banded byte-bucket join + bit_count(xor) verify — operators/image_dedup.py.
+# The phash values are derived from c_custkey with engine-portable integer
+# arithmetic (groups of 4 images whose hashes differ by ≤2 flipped bits) so
+# DuckDB mirrors the exact pair set; on real data the same operator runs on
+# build_images' codec-computed phashes (tests/test_image_dedup.py).
+# ---------------------------------------------------------------------------
+_PH_SQL = """
+        SELECT printf('img%010d', c_custkey) AS image_id,
+               CAST(xor(
+                 ((((c_custkey - 1) // 4) * 2654435761) % 2147483648)
+                 + ((((c_custkey - 1) // 4) * 40503 + 2531011) % 2147483648) * 2147483648,
+                 CASE WHEN c_custkey % 4 <> 0
+                      THEN (CAST(1 AS BIGINT) << CAST((c_custkey % 4) * 13 AS INTEGER))
+                      ELSE 0 END
+               ) AS BIGINT) AS phash
+        FROM customer WHERE c_custkey BETWEEN 1 AND 2000
+"""
+
+
+@query(
+    "images_phash_neardup",
+    f"""
+    WITH ph AS ({_PH_SQL})
+    SELECT a.image_id AS id_a, b.image_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM ph a JOIN ph b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
+def images_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.image_dedup import phash_neardup_pairs
+
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey").between(1, 2000))
+    base = F.floor((F.col("c_custkey") - 1) / 4).cast("long")
+    m1 = (base * 2654435761) % 2147483648
+    m2 = (base * 40503 + 2531011) % 2147483648
+    flip = F.expr(
+        "CASE WHEN c_custkey % 4 <> 0 "
+        "THEN shiftleft(CAST(1 AS BIGINT), CAST((c_custkey % 4) * 13 AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    images = cust.select(
+        F.format_string("img%010d", F.col("c_custkey")).alias("image_id"),
+        (m1 + m2 * 2147483648).bitwiseXOR(flip).alias("phash"),
+    )
+    pairs = phash_neardup_pairs(images, max_hamming=3, n_bands=8)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

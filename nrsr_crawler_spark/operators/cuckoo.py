@@ -353,13 +353,67 @@ def dedup_with_cuckoo(
     seen: DataFrame,
     segments: DataFrame,
     n_segments: int = 16,
+    broadcast_tables: bool = False,
+    bc=None,
 ) -> DataFrame:
     """J4 end-to-end under the cuckoo regime: result equals the plain
     anti-join (cuckoo filters have no false negatives; stash covers
     overfull chains), with only maybe-positive rows entering the exact
-    check — the same asymmetry as seen.dedup_with_bloom."""
+    check — the same asymmetry and the same two physical regimes as
+    seen.dedup_with_bloom (broadcast tables + single compound anti-join /
+    cogrouped partitioned probe)."""
+    if broadcast_tables or bc is not None:
+        flagged = cuckoo_flag_broadcast(candidates, segments, n_segments, bc=bc)
+        s = F.broadcast(seen.select(F.col("url_hash").alias("__seen_hash")))
+        return flagged.join(
+            s,
+            (F.col("url_hash") == F.col("__seen_hash")) & F.col("maybe_seen"),
+            "left_anti",
+        ).drop("maybe_seen")
     flagged = cuckoo_flag(candidates, segments, n_segments)
     definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybes = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybes.join(seen.select("url_hash"), "url_hash", "left_anti")
     return definite_new.unionByName(confirmed_new)
+
+
+def collect_cuckoo_segments(spark, segments: DataFrame):
+    """Materialize + broadcast {segment_id: (table, stash)} once — the
+    cuckoo counterpart of seen.collect_segments for the broadcast regime."""
+    segs = {}
+    for r in segments.collect():
+        nb, sl = int(r["n_buckets"]), int(r["slots"])
+        table = np.frombuffer(r["table"], dtype=np.uint16).reshape(nb, sl)
+        stash = np.asarray(list(r["stash"] or []), dtype=np.int64)
+        segs[int(r["segment_id"])] = (table, stash)
+    return spark.sparkContext.broadcast(segs)
+
+
+def cuckoo_flag_broadcast(
+    candidates: DataFrame, segments: DataFrame | None, n_segments: int = 16, bc=None
+) -> DataFrame:
+    """Broadcast-regime probe: every executor holds all fingerprint tables;
+    only the hash column crosses the Arrow boundary (mirrors
+    seen.bloom_flag_broadcast)."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = candidates.sparkSession
+    if bc is None:
+        bc = collect_cuckoo_segments(spark, segments)
+
+    @pandas_udf("boolean")
+    def probe(url_hash: pd.Series) -> pd.Series:
+        table_map = bc.value
+        h = url_hash.to_numpy()
+        out = np.zeros(len(h), dtype=bool)
+        seg_ids = (h % np.int64(n_segments) + n_segments) % np.int64(n_segments)
+        for seg in np.unique(seg_ids):
+            entry = table_map.get(int(seg))
+            if entry is None:
+                continue
+            table, stash = entry
+            mask = seg_ids == seg
+            out[mask] = _probe_arrays(table, stash, h[mask], table.shape[0])
+        return pd.Series(out)
+
+    return candidates.withColumn("maybe_seen", probe(F.col("url_hash")))

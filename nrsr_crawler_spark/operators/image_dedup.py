@@ -1,0 +1,102 @@
+"""Image near-duplicate detection over the input_hint table's ``phash``
+column (image_id, bytes, w, h, fmt, caption, phash:int64) — the image-payload
+counterpart of the text SimHash dedup (operators/dedup.py simhash_pairs).
+
+A perceptual hash maps visually-similar images to int64s within a small
+Hamming distance, so near-dup detection is a Hamming-ball self-join on the
+phash column — no pixel decode in the hot path; bytes stay untouched.
+
+Scale shape (the part that must survive 10^10 rows): split the 64-bit hash
+into ``n_bands`` byte bands; by pigeonhole, any pair within Hamming
+``max_hamming ≤ n_bands - 1`` agrees exactly on at least one band.  Join on
+(band_index, band_value) buckets, then verify candidates with one
+``bit_count(xor)`` — work is Σ bucket², never n², and the band join
+shuffles on well-mixed single-byte keys.  Same construction the text-side
+SimHash uses (dedup.py:249), lifted to 64 bits / 8 bands.
+
+Caveat a real corpus needs handled: a constant-ish band (e.g. flat-sky
+images all hashing 0x00 in band 7) creates a hot bucket.  ``max_df`` drops
+band-values whose bucket exceeds the cap — identical semantics to the
+stop-shingle cap in the n-gram dedup (dedup.py:70) — trading recall only on
+pairs whose OTHER agreeing bands are also capped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def phash_bands(images: DataFrame, id_col: str = "image_id", phash_col: str = "phash", n_bands: int = 8) -> DataFrame:
+    """(id, phash, band, key): one row per byte band of the 64-bit phash."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col(phash_col), i * width).bitwiseAND(mask).alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return images.select(F.col(id_col), F.col(phash_col), F.explode(bands).alias("bb")).select(
+        F.col(id_col), F.col(phash_col), F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    )
+
+
+def phash_neardup_pairs(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a, id_b, hamming) with Hamming(phash_a, phash_b) ≤
+    ``max_hamming``, id_a < id_b.  Exact (full recall) while
+    ``max_hamming ≤ n_bands - 1`` and no bucket is dropped by ``max_df``."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole needs max_hamming <= n_bands-1 ({max_hamming} > {n_bands - 1})"
+        )
+    banded = phash_bands(images, id_col, phash_col, n_bands)
+    if max_df is not None:
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("band", "key")
+        )
+        banded = banded.join(hot, ["band", "key"], "left_anti")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col(phash_col).alias("ph_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col(phash_col).alias("ph_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def phash_neardup_groups(
+    pairs: DataFrame, images: DataFrame, id_col: str = "image_id"
+) -> DataFrame:
+    """Min-id representative per near-dup cluster (single-link over the pair
+    edges' first hop — the exact-dedup convention of dedup.py): every id
+    maps to the smallest id it pairs with, itself if none.  One pass, no
+    iterative connected components — sufficient for the keep-one-of-each
+    training-data policy where pair edges are already transitive within a
+    Hamming ball."""
+    best = (
+        pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("rep"))
+        .groupBy(id_col)
+        .agg(F.min("rep").alias("rep"))
+    )
+    return images.select(id_col).join(best, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("rep"), F.col(id_col)).alias("rep"),
+    )

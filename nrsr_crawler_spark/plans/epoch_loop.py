@@ -73,6 +73,7 @@ from nrsr_crawler_spark.functions import urls as U
 from nrsr_crawler_spark.lake.table import EpochLake
 from nrsr_crawler_spark.operators import frontier as frontier_ops
 from nrsr_crawler_spark.operators import parse as parse_ops
+from nrsr_crawler_spark.operators import cuckoo as cuckoo_ops
 from nrsr_crawler_spark.operators import politeness, robots, seen as seen_ops
 
 FRONTIER_SCHEMA = (
@@ -104,6 +105,7 @@ class CrawlEngine:
         num_salts: int = 16,
         n_segments: int = 16,
         use_bloom: bool = True,
+        filter_kind: str = "bloom",
         base_url: str = "https://www.nrsr.sk/web/",
         bloom_fp: float = 1e-4,
         bloom_growth: int = 8,
@@ -121,6 +123,9 @@ class CrawlEngine:
         self.num_salts = num_salts
         self.n_segments = n_segments
         self.use_bloom = use_bloom
+        if filter_kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"filter_kind must be 'bloom' or 'cuckoo', got {filter_kind!r}")
+        self.filter_kind = filter_kind
         self.base_url = base_url
         self.bloom_fp = bloom_fp
         self.bloom_growth = bloom_growth
@@ -273,6 +278,96 @@ class CrawlEngine:
             self._segments.unpersist()
             self._segments = merged
 
+    # -- cuckoo state (filter_kind="cuckoo": same lifecycle as the Bloom
+    # regimes, with fingerprint tables instead of bitsets; deletion-capable
+    # via cuckoo_ops.delete_cuckoo for recrawl/TTL deployments) -------------
+    def _cuckoo_params(self, n_keys: int) -> tuple[int, int]:
+        capacity = max(n_keys, 1024) * self.bloom_growth
+        per_seg = max(capacity // self.n_segments, 64)
+        return cuckoo_ops.buckets_for(per_seg), capacity
+
+    def _build_cuckoo(self, seen: DataFrame, n_keys: int) -> None:
+        import numpy as np
+
+        n_buckets, capacity = self._cuckoo_params(n_keys)
+        self._bloom_capacity = capacity  # shared capacity gate with bloom path
+        self._ck_nbuckets = n_buckets
+        segs = cuckoo_ops.build_cuckoo_segments(seen, self.n_segments, n_buckets=n_buckets)
+        self._use_bcast = n_keys <= self.broadcast_max_keys
+        if self._use_bcast:
+            if self._seg_bc is not None:
+                self._seg_bc.destroy()
+            self._ck_state = {}
+            for r in segs.collect():
+                nb, sl = int(r["n_buckets"]), int(r["slots"])
+                self._ck_state[int(r["segment_id"])] = [
+                    np.frombuffer(r["table"], dtype=np.uint16).reshape(nb, sl).copy(),
+                    [int(x) for x in (r["stash"] or [])],
+                    int(r["n_keys"]),
+                ]
+            self._seg_bc = self._broadcast_ck()
+            if self._segments is not None:
+                self._segments.unpersist()
+                self._segments = None
+        else:
+            old = self._segments
+            self._segments = segs.localCheckpoint()
+            if old is not None:
+                old.unpersist()
+            if self._seg_bc is not None:
+                self._seg_bc.destroy()
+                self._seg_bc = None
+                self._ck_state = None
+
+    def _broadcast_ck(self):
+        import numpy as np
+
+        return self.spark.sparkContext.broadcast(
+            {
+                s: (t, np.asarray(st, dtype=np.int64))
+                for s, (t, st, _) in self._ck_state.items()
+            }
+        )
+
+    def _merge_cuckoo(self, new_hashes: DataFrame, seen: DataFrame, seen_count: int) -> None:
+        if seen_count > self._bloom_capacity or (
+            self._use_bcast and seen_count > self.broadcast_max_keys
+        ):
+            self._build_cuckoo(seen, seen_count)
+            return
+        if self._use_bcast:
+            import numpy as np
+
+            hs = np.array(
+                [r[0] for r in new_hashes.select("url_hash").collect()], dtype=np.int64
+            )
+            seg_ids = (hs % np.int64(self.n_segments) + self.n_segments) % np.int64(
+                self.n_segments
+            )
+            for seg in np.unique(seg_ids):
+                entry = self._ck_state.get(int(seg))
+                if entry is None:
+                    entry = [
+                        np.zeros((self._ck_nbuckets, 4), dtype=np.uint16),
+                        [],
+                        0,
+                    ]
+                    self._ck_state[int(seg)] = entry
+                table, stash, n_keys = entry
+                seg_hs = np.sort(hs[seg_ids == seg])
+                cuckoo_ops._insert_batch(
+                    table, stash, seg_hs, table.shape[0], rng_state=int(seg) + n_keys + 1
+                )
+                entry[2] = n_keys + len(seg_hs)
+            self._seg_bc.destroy()
+            self._seg_bc = self._broadcast_ck()
+        else:
+            merged = cuckoo_ops.merge_cuckoo_segments(
+                self._segments, new_hashes, self.n_segments, n_buckets=self._ck_nbuckets
+            ).localCheckpoint()
+            self._segments.unpersist()
+            self._segments = merged
+
     # -- the loop ------------------------------------------------------------
     def run(self, seeds: list[str] | None = None, max_epochs: int = 100000) -> CrawlStats:
         if self.lake.last_committed() < 0:
@@ -293,9 +388,14 @@ class CrawlEngine:
         self._segments = None
         self._seg_bc = None
         self._seg_arrays = None
+        self._ck_state = None
+        self._ck_nbuckets = 0
         self._use_bcast = True
         if self.use_bloom:
-            self._build_bloom(seen, seen_count)
+            if self.filter_kind == "cuckoo":
+                self._build_cuckoo(seen, seen_count)
+            else:
+                self._build_bloom(seen, seen_count)
         epochs_since_collapse = 0
 
         total_fetched = total_enqueued = total_items = 0
@@ -346,10 +446,16 @@ class CrawlEngine:
             cand = frontier_ops.prepare_in_batch(cand)
             # cross-epoch dedup (J4): bloom-pruned anti-join vs the seen set
             if self.use_bloom:
-                new = seen_ops.dedup_with_bloom(
-                    cand, seen, self._segments, self.n_segments,
-                    broadcast_bits=self._use_bcast, bc=self._seg_bc,
-                )
+                if self.filter_kind == "cuckoo":
+                    new = cuckoo_ops.dedup_with_cuckoo(
+                        cand, seen, self._segments, self.n_segments,
+                        broadcast_tables=self._use_bcast, bc=self._seg_bc,
+                    )
+                else:
+                    new = seen_ops.dedup_with_bloom(
+                        cand, seen, self._segments, self.n_segments,
+                        broadcast_bits=self._use_bcast, bc=self._seg_bc,
+                    )
             else:
                 new = cand.join(seen, "url_hash", "left_anti")
             new_delta = self._finish_frontier_cols(new)
@@ -443,7 +549,10 @@ class CrawlEngine:
                     epochs_since_collapse = 0
                 seen = next_seen
                 if self.use_bloom:
-                    self._merge_bloom(new_hashes, seen, seen_count)
+                    if self.filter_kind == "cuckoo":
+                        self._merge_cuckoo(new_hashes, seen, seen_count)
+                    else:
+                        self._merge_bloom(new_hashes, seen, seen_count)
             else:
                 next_pending = pending.join(popped_keys, "url_hash", "left_anti").localCheckpoint()
             old_pending = pending

@@ -110,3 +110,32 @@ def test_resume_is_identical(spark, tmp_path):
         a = sorted(map(tuple, full.lake.read_all(spark, table).collect()))
         b = sorted(map(tuple, resumed.lake.read_all(spark, table).collect()))
         assert a == b, table
+
+
+def test_cuckoo_filter_kind_matches_golden(spark, tmp_path):
+    """filter_kind="cuckoo" must produce the identical crawl: probe false
+    positives are exact-checked and false negatives don't exist, so the
+    fetch order and seen set cannot depend on which filter regime ran."""
+    site = generate_site(periods=1, pages_per_period=2, details_per_page=3, members_per_period=2)
+    golden = simulate(site, [SEED_URL], allow=_allow)
+    engine = CrawlEngine(
+        spark, _pages_df(spark, site), str(tmp_path / "lake_ck"), budget_per_host=100,
+        robots_rules=RULES, filter_kind="cuckoo",
+    )
+    engine.run([SEED_URL])
+    assert {r["canon_url"] for r in engine.seen_set().collect()} == golden.seen
+    replayed = certify_order(engine.spark, engine.lake, allow=_allow)
+    assert [r["canon_url"] for r in replayed] == [o["canon_url"] for o in golden.order]
+
+
+def test_cuckoo_partitioned_regime_matches_golden(spark, tmp_path):
+    """Force the partitioned (cogrouped fingerprint-table) regime by setting
+    broadcast_max_keys=0 — the 10^10-scale physical path."""
+    site = generate_site(periods=1, pages_per_period=2, details_per_page=2, members_per_period=2)
+    golden = simulate(site, [SEED_URL], allow=_allow)
+    engine = CrawlEngine(
+        spark, _pages_df(spark, site), str(tmp_path / "lake_ckp"), budget_per_host=100,
+        robots_rules=RULES, filter_kind="cuckoo", broadcast_max_keys=0,
+    )
+    engine.run([SEED_URL])
+    assert {r["canon_url"] for r in engine.seen_set().collect()} == golden.seen

@@ -1,0 +1,78 @@
+"""phash Hamming near-dup invariants: banded pair search equals brute
+force (full recall at max_hamming ≤ n_bands-1), hot-bucket cap semantics,
+cluster representative mapping."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nrsr_crawler_spark.operators import image_dedup as ID
+
+
+def _images(spark, n=400, seed=3, planted=40):
+    """Random 64-bit phashes + ``planted`` near-dup partners at Hamming 1-3."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(-(2**63), 2**63 - 1, size=n, dtype=np.int64)
+    rows = [(f"img{i:06d}", int(base[i])) for i in range(n)]
+    for j in range(planted):
+        src = int(base[j])
+        flipped = src
+        for b in rng.choice(64, size=int(rng.integers(1, 4)), replace=False):
+            flipped ^= 1 << int(b)
+        rows.append((f"img{j:06d}_nd", np.int64(np.uint64(flipped) & np.uint64(2**64 - 1)).item()))
+    return spark.createDataFrame(rows, "image_id string, phash long")
+
+
+def _bruteforce(spark, images, max_hamming):
+    a = images.select(F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"))
+    b = images.select(F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def test_banded_equals_bruteforce(spark):
+    images = _images(spark)
+    got = ID.phash_neardup_pairs(images, max_hamming=6, n_bands=8)
+    want = _bruteforce(spark, images, 6)
+    assert got.count() == want.count() >= 40  # planted partners all found
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_pigeonhole_bound_enforced(spark):
+    images = _images(spark, n=10, planted=0)
+    try:
+        ID.phash_neardup_pairs(images, max_hamming=8, n_bands=8)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_max_df_drops_hot_bucket_only(spark):
+    """All-zero phashes share every band (one giant bucket).  With max_df
+    the hot buckets drop and the pathological n² pair-out disappears, while
+    a disjoint well-mixed pair is still found."""
+    n = 200
+    rows = [(f"z{i:04d}", 0) for i in range(n)]
+    rows += [("wm0001", 0x1234_5678_9ABC_DEF0), ("wm0002", 0x1234_5678_9ABC_DEF1)]
+    images = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = ID.phash_neardup_pairs(images, max_hamming=3, n_bands=8, max_df=50)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("wm0001", "wm0002") in got
+    assert not any(a.startswith("z") for a, _ in got)  # hot bucket capped
+
+
+def test_group_representatives(spark):
+    images = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("c", 3), ("d", 0x00FF00FF00FF00FF)],
+        "image_id string, phash long",
+    )
+    pairs = ID.phash_neardup_pairs(images, max_hamming=2, n_bands=8)
+    reps = {r["image_id"]: r["rep"] for r in ID.phash_neardup_groups(pairs, images).collect()}
+    assert reps == {"a": "a", "b": "a", "c": "a", "d": "d"}

@@ -123,3 +123,14 @@ def test_canon_stage_stays_in_wholestage_codegen(spark):
     # "Found 1 WholeStageCodegen subtrees" and no fallback markers
     assert "WholeStageCodegen" in plan
     assert "Project" in plan
+
+
+def test_phash_neardup_avoids_cartesian_product(spark):
+    """The banded Hamming join must plan as an equi-join (hash/sort-merge on
+    (band, key)) — a CartesianProduct/BroadcastNestedLoopJoin would mean the
+    pigeonhole bucketing failed to reach the physical plan."""
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["images_phash_neardup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
