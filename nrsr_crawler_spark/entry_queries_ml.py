@@ -510,7 +510,7 @@ _PH_SQL = """
         SELECT printf('img%010d', c_custkey) AS image_id,
                CAST(xor(
                  ((((c_custkey - 1) // 4) * 2654435761) % 2147483648)
-                 + ((((c_custkey - 1) // 4) * 40503 + 2531011) % 2147483648) * 2147483648,
+                 + ((((c_custkey - 1) // 4) * 2246822519 + 2531011) % 2147483648) * 2147483648,
                  CASE WHEN c_custkey % 4 <> 0
                       THEN (CAST(1 AS BIGINT) << CAST((c_custkey % 4) * 13 AS INTEGER))
                       ELSE 0 END
@@ -535,7 +535,7 @@ def images_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey").between(1, 2000))
     base = F.floor((F.col("c_custkey") - 1) / 4).cast("long")
     m1 = (base * 2654435761) % 2147483648
-    m2 = (base * 40503 + 2531011) % 2147483648
+    m2 = (base * 2246822519 + 2531011) % 2147483648
     flip = F.expr(
         "CASE WHEN c_custkey % 4 <> 0 "
         "THEN shiftleft(CAST(1 AS BIGINT), CAST((c_custkey % 4) * 13 AS INT)) "
