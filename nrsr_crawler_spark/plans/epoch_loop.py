@@ -81,6 +81,7 @@ FRONTIER_SCHEMA = (
     "depth int, priority int, seq long, parent_hash long, segment_id int"
 )
 FETCHLOG_SCHEMA = "url_hash long, canon_url string, seq long, depth int, pop_rank int"
+EXPIRED_SCHEMA = "url_hash long, mode string, epoch int"
 EDGES_SCHEMA = "parent_hash long, parent_seq long, child_idx int, url string, canon_url string, url_hash long"
 
 _SEQ_EPOCH_SHIFT = 40
@@ -176,6 +177,58 @@ class CrawlEngine:
             "parent_hash",
             seen_ops.segment_id(F.col("url_hash"), self.n_segments).alias("segment_id"),
         )
+
+    def expire(self, urls: DataFrame, mode: str = "refetch") -> int:
+        """Tombstone URLs for recrawl/TTL — the selective version of the
+        reference's "clear the dupefilter and re-run" incremental workflow
+        (DUPEFILTER_CLASS, /root/reference/nrsr/settings.py:114; the
+        spiders' own date-cutoff incremental predicates re-visit listing
+        pages the same way).
+
+        - ``mode="refetch"``: keep frontier + seen membership, clear the
+          fetched status — the next run() pops the URL again (content
+          refresh without re-discovery).
+        - ``mode="forget"``: evict from frontier AND the seen set — the URL
+          behaves as never discovered and is re-enqueued only when some
+          refetched page links to it again (TTL eviction; bounds seen-set
+          growth on unbounded crawls).
+
+        ``urls`` needs a ``url_hash`` column, or a ``url`` column which is
+        canonicalized + fingerprinted here.  Tombstones are appended to an
+        ``expired`` lake table (Iceberg delete-file shaped) and applied as
+        O(|tombstones|) anti-joins at run() start.  On a long-lived driver
+        the cuckoo regime (filter_kind="cuckoo") additionally supports
+        applying "forget" to the LIVE filter via cuckoo.delete_cuckoo with
+        no rebuild — Bloom bitsets cannot delete and must rebuild, which is
+        the reason the deletion-capable regime exists.
+        """
+        if mode not in ("refetch", "forget"):
+            raise ValueError(f"mode must be 'refetch' or 'forget', got {mode!r}")
+        epoch = self.lake.last_committed()
+        if epoch < 0:
+            raise ValueError("nothing crawled yet — expire() needs a committed lake")
+        if "url_hash" not in urls.columns:
+            urls = (
+                U.with_canon(urls, hash_col="url_hash")
+                .filter(F.col("canon_url").isNotNull())
+            )
+        from pathlib import Path
+
+        new = urls.select("url_hash").distinct().withColumn("mode", F.lit(mode))
+        n = new.count()
+        # A tombstone is SCOPED to its epoch: it clears only state written at
+        # epochs <= its own (run() applies it with an epoch-bounded
+        # anti-join), so a refetch tombstone does not keep re-clearing the
+        # refetch it caused.  Same-epoch tombstones share a scope → merge
+        # into one delta; earlier epochs' deltas stay untouched.
+        path = Path(self.lake.delta_path("expired", epoch))
+        if path.exists():
+            cur = self.spark.read.parquet(str(path)).select("url_hash", "mode")
+            new = cur.unionByName(new).distinct()
+        # materialize before overwriting the delta we may be reading from
+        new = new.localCheckpoint()
+        self.lake.write_delta("expired", new, epoch)
+        return n
 
     def enqueue_seeds(self, seeds: list[str]) -> None:
         rows = [(u, i) for i, u in enumerate(seeds)]
@@ -379,6 +432,32 @@ class CrawlEngine:
         frontier_all = self.lake.read_all(self.spark, "frontier")
         fetched_log = self.lake.read_all(
             self.spark, "fetch_log", schema=FETCHLOG_SCHEMA + ", epoch int"
+        )
+        # recrawl/TTL tombstones (see expire()): 'forget' evicts the URL from
+        # frontier+seen entirely (re-enqueued only on re-discovery); both
+        # modes clear its fetched status so surviving frontier entries become
+        # pending again.  Each tombstone applies only to state from epochs
+        # <= its own (else a refetch tombstone would re-clear the refetch it
+        # caused).  Anti-joins are O(|tombstones|) — Iceberg delete-file
+        # shaped, not a rewrite of history.
+        expired = self.lake.read_all(self.spark, "expired", schema=EXPIRED_SCHEMA)
+        forget_keys = expired.filter(F.col("mode") == "forget").select(
+            F.col("url_hash").alias("__exp_hash"), F.col("epoch").alias("__exp_epoch")
+        )
+        frontier_all = frontier_all.join(
+            forget_keys,
+            (F.col("url_hash") == F.col("__exp_hash"))
+            & (F.col("epoch") <= F.col("__exp_epoch")),
+            "left_anti",
+        )
+        exp_keys = expired.select(
+            F.col("url_hash").alias("__exp_hash"), F.col("epoch").alias("__exp_epoch")
+        )
+        fetched_log = fetched_log.join(
+            exp_keys,
+            (F.col("url_hash") == F.col("__exp_hash"))
+            & (F.col("epoch") <= F.col("__exp_epoch")),
+            "left_anti",
         )
         pending = frontier_all.drop("epoch").join(
             fetched_log.select("url_hash"), "url_hash", "left_anti"
