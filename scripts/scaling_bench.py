@@ -74,6 +74,32 @@ def cpu_control(workers: int, per: int = 6_000_000, tasks_factor: int = 4) -> fl
     return tasks * per / dt
 
 
+def _copy(n_iters: int) -> int:
+    import numpy as np
+
+    a = np.empty(64 << 20, dtype=np.uint8)  # 64 MB, far beyond LLC
+    b = np.empty_like(a)
+    for _ in range(n_iters):
+        np.copyto(b, a)
+        np.copyto(a, b)
+    return 0
+
+
+def mem_control(workers: int, iters: int = 12, tasks_factor: int = 4) -> float:
+    """Memory-bandwidth bytes/sec at ``workers`` processes.  The ALU control
+    (cpu_control) scales near-linearly on this VM while streaming copies do
+    not — a shuffle/Arrow-heavy engine is bounded by THIS ceiling, not the
+    ALU one.  On real N→4N executors each node brings its own memory
+    subsystem, so the shared-bandwidth penalty measured here does not apply.
+    """
+    tasks = workers * tasks_factor
+    with mp.Pool(workers) as p:
+        t0 = time.perf_counter()
+        p.map(_copy, [iters] * tasks)
+        dt = time.perf_counter() - t0
+    return tasks * iters * 2 * (64 << 20) / dt
+
+
 def main() -> None:
     """The sandbox VM's effective CPU capacity wanders (host contention):
     the pure-CPU control at fixed worker counts varies >2× between windows
@@ -99,6 +125,7 @@ def main() -> None:
         h2 = run_level(hi, repo, mult)
         l2 = run_level(lo, repo, mult)
         ctl_eff = (cpu_control(hi) / cpu_control(lo)) / 4.0
+        mem_eff = (mem_control(hi) / mem_control(lo)) / 4.0
         lo_ups = (l1["urls_per_sec"] + l2["urls_per_sec"]) / 2
         hi_ups = (h1["urls_per_sec"] + h2["urls_per_sec"]) / 2
         eff = (hi_ups / lo_ups) / 4.0
@@ -108,7 +135,9 @@ def main() -> None:
                 f"urls_per_sec_local{hi}": [round(h1["urls_per_sec"]), round(h2["urls_per_sec"])],
                 "eff_abba": round(eff, 3),
                 "cpu_control_eff": round(ctl_eff, 3),
+                "mem_control_eff": round(mem_eff, 3),
                 "eff_normalized": round(min(eff / ctl_eff, 1.0), 3),
+                "eff_vs_mem_ceiling": round(min(eff / mem_eff, 1.0), 3),
             }
         )
         out["frontier_urls"] = l1["frontier_urls"]
