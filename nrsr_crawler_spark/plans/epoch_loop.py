@@ -230,6 +230,26 @@ class CrawlEngine:
         self.lake.write_delta("expired", new, epoch)
         return n
 
+    def expire_older_than(self, max_age_epochs: int, mode: str = "refetch") -> int:
+        """TTL policy over fetch age: tombstone every URL whose LATEST fetch
+        is ≥ ``max_age_epochs`` epochs before the current head — e.g.
+        ``expire_older_than(0)`` schedules a full refetch, ``(10)`` refreshes
+        anything not fetched in the last 10 epochs.  Thin wrapper over
+        :meth:`expire`; same modes."""
+        cur = self.lake.last_committed()
+        if cur < 0:
+            raise ValueError("nothing crawled yet")
+        log = self.lake.read_all(
+            self.spark, "fetch_log", schema=FETCHLOG_SCHEMA + ", epoch int"
+        )
+        old = (
+            log.groupBy("url_hash")
+            .agg(F.max("epoch").alias("last_epoch"))
+            .filter(F.col("last_epoch") <= cur - max_age_epochs)
+            .select("url_hash")
+        )
+        return self.expire(old, mode=mode)
+
     def enqueue_seeds(self, seeds: list[str]) -> None:
         rows = [(u, i) for i, u in enumerate(seeds)]
         raw = self.spark.createDataFrame(rows, "url string, seq long").select(

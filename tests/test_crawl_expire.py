@@ -83,3 +83,13 @@ def test_expire_accepts_raw_urls(spark, tmp_path):
     n = engine.expire(spark.createDataFrame([(SEED_URL,)], "url string"), mode="refetch")
     assert n == 1
     assert engine.run().fetched == 1
+
+
+def test_expire_older_than_full_refresh(spark, tmp_path):
+    engine = _engine(spark, tmp_path)
+    stats1 = engine.run([SEED_URL])
+    n = engine.expire_older_than(0)  # everything is "old enough"
+    assert n == stats1.fetched
+    stats2 = engine.run()
+    assert stats2.fetched == stats1.fetched
+    assert all(c == 2 for c in _fetch_counts(engine).values())
