@@ -182,7 +182,10 @@ def minhash_lsh_dedup(
     The shingle explode (the dominant cost — |doc| rows per doc) is computed
     ONCE and persisted; signatures+sizes come out of a single fused
     aggregation over it, and the verification joins reuse the same cached
-    shingles instead of re-exploding (halved the sf0.1 bench wall)."""
+    shingles instead of re-exploding (halved the sf0.1 bench wall).  The
+    surviving-pair result is materialized (localCheckpoint) so both caches
+    can be unpersisted before returning — a long-lived driver calling this
+    repeatedly must not leak cached shingle partitions (ADVICE r2)."""
     rows_per_band = num_hashes // bands
     sh = word_shingles(df, id_col, text_col, n).persist()
     # one shuffle on id computes the minhash signature AND the shingle count
@@ -202,7 +205,7 @@ def minhash_lsh_dedup(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
+    out = (
         common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
         .filter(
@@ -210,7 +213,11 @@ def minhash_lsh_dedup(
             >= (F.col("na") + F.col("nb") - F.col("common")) * threshold_num
         )
         .select("id_a", "id_b", "common", "na", "nb")
+        .localCheckpoint()  # pair list is tiny; eager so the caches below can go
     )
+    sh.unpersist()
+    sig_sz.unpersist()
+    return out
 
 
 # -- SimHash ------------------------------------------------------------------------

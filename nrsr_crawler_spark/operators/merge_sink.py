@@ -103,8 +103,15 @@ def merge_upsert(
     # classification: batch LEFT current — output (and, with Iceberg
     # matched-key pruning, the store-side read) is ∝ batch size.  Rows only
     # in ``current`` never enter this join; they survive via the anti-join in
-    # the ``merged`` view below.
-    joined = new.alias("n").join(cur.alias("c"), on=keys, how="left")
+    # the ``merged`` view below.  Key equality is NULL-SAFE (ADVICE r2): the
+    # voting key includes press_num which is legitimately NULL when the page
+    # has no press ref — the reference omits absent keys from match_dict
+    # (pipelines.py:37-131), i.e. NULL matches NULL; plain ``=`` would
+    # re-classify such rows as insert every batch and duplicate them.  This
+    # also keeps merge_upsert consistent with typed_store's window path
+    # (partitionBy groups NULLs together).
+    cond = [F.col(f"n.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys]
+    joined = new.alias("n").join(cur.alias("c"), on=cond, how="left")
     action = (
         F.when(F.col("c.__vhash").isNull(), F.lit("insert"))
         .when(F.col("n.__vhash") == F.col("c.__vhash"), F.lit("unchanged"))
@@ -113,12 +120,19 @@ def merge_upsert(
     classified = joined.withColumn("__action", action)
 
     value_cols = [c for c in current.columns if c not in keys]
+    n_keys = [F.col(f"n.{k}").alias(k) for k in keys]
     upserts = classified.filter(F.col("__action").isin("insert", "update")).select(
-        *keys, *[F.col(f"n.{c}").alias(c) for c in value_cols]
+        *n_keys, *[F.col(f"n.{c}").alias(c) for c in value_cols]
     )
     archived = classified.filter(F.col("__action") == "update").select(
-        *keys, *[F.col(f"c.{c}").alias(c) for c in value_cols]
+        *[F.col(f"c.{k}").alias(k) for k in keys],
+        *[F.col(f"c.{c}").alias(c) for c in value_cols],
     )
-    actions = classified.select(*keys, F.col("__action").alias("action"))
-    merged = current.join(upserts.select(*keys), on=keys, how="left_anti").unionByName(upserts)
+    actions = classified.select(*n_keys, F.col("__action").alias("action"))
+    up_keys = upserts.select(*keys)
+    merged = current.alias("s").join(
+        up_keys.alias("u"),
+        on=[F.col(f"s.{k}").eqNullSafe(F.col(f"u.{k}")) for k in keys],
+        how="left_anti",
+    ).unionByName(upserts)
     return MergeResult(merged=merged, archived=archived, actions=actions, upserts=upserts)

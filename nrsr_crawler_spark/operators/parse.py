@@ -34,9 +34,11 @@ CHILDREN_SCHEMA = (
 ITEMS_SCHEMA = "url_hash long, canon_url string, payload string, image_id string"
 
 
-def extract_children(fetched: DataFrame) -> DataFrame:
+def extract_children(fetched: DataFrame, rank_col: str = "rk") -> DataFrame:
     """fetched: (url_hash, canon_url, seq, depth, body, ...) → child hrefs in
-    document order."""
+    document order.  ``rank_col`` is carried through as ``parent_rank`` — the
+    epoch loop passes its globally-unique pop ordinal (``grk``) so seq packing
+    never aliases across hosts."""
 
     def _gen(batches):
         for pdf in batches:
@@ -45,7 +47,7 @@ def extract_children(fetched: DataFrame) -> DataFrame:
                 "parent_depth": [], "child_idx": [], "href": [],
             }
             bodies = pdf["body"]
-            for h, s, rk, d, body in zip(pdf["url_hash"], pdf["seq"], pdf["rk"], pdf["depth"], bodies):
+            for h, s, rk, d, body in zip(pdf["url_hash"], pdf["seq"], pdf[rank_col], pdf["depth"], bodies):
                 if body is None:
                     continue
                 text = bytes(body).decode("utf-8", errors="replace")
@@ -58,7 +60,7 @@ def extract_children(fetched: DataFrame) -> DataFrame:
                     rows["href"].append(href)
             yield pd.DataFrame(rows)
 
-    return fetched.select("url_hash", "seq", "rk", "depth", "body").mapInPandas(_gen, schema=CHILDREN_SCHEMA)
+    return fetched.select("url_hash", "seq", rank_col, "depth", "body").mapInPandas(_gen, schema=CHILDREN_SCHEMA)
 
 
 def extract_items(fetched: DataFrame) -> DataFrame:

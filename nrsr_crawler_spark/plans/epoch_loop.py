@@ -150,18 +150,45 @@ class CrawlEngine:
 
     # -- helpers -------------------------------------------------------------
     def _child_seq(self, epoch: int):
-        """Packed child seq: (epoch, parent pop rank, child_idx).
+        """Packed child seq: (epoch, parent pop ordinal, child_idx).
 
-        The parent component is the parent's deterministic pop rank within
-        this epoch (1-based ``rk`` from politeness.pop_budget), NOT a mod of
-        its own packed seq — so in-batch "min seq wins" prefers the child of
-        the earliest-popped parent, mirroring the sequential reference where
-        the first parent to schedule a URL claims it.  Both components are
-        guarded against overflow (strict_seq)."""
+        The parent component is the parent's GLOBALLY UNIQUE per-epoch pop
+        ordinal (``grk`` — dense rank over (host, per-host rk), computed in
+        run()), NOT the per-host ``rk``: on a multi-host crawl parents on
+        different hosts share per-host ranks, so packing ``rk`` would alias
+        their children's seq values and silently break the "lineage seq never
+        aliases" invariant off the single-host path.  Using the dense global
+        ordinal keeps the guard exact: the packed space overflows iff
+        n_popped > 2^parent_bits, which strict_seq checks directly.  In-batch
+        "min seq wins" prefers the child of the earliest parent in the
+        deterministic (host, rk) serialization — identical to pop order on a
+        single host, a valid serialization of the parallel pops otherwise."""
         return (
             (F.lit(epoch + 1).cast("long") * (1 << _SEQ_EPOCH_SHIFT))
             + (F.col("parent_rank").cast("long") - 1) * (1 << self.seq_child_bits)
             + F.least(F.col("child_idx"), F.lit((1 << self.seq_child_bits) - 1))
+        )
+
+    @staticmethod
+    def _with_global_rank(popped: DataFrame) -> DataFrame:
+        """Attach ``grk``: a dense 1-based ordinal over this epoch's popped
+        parents, unique ACROSS hosts (ADVICE r2: per-host ``rk`` aliases on
+        multi-host crawls).  Computed as host-offset + rk where offsets are a
+        prefix sum over per-host pop counts ordered by host — one tiny
+        aggregate (≤ one row per distinct host this epoch) + a broadcast
+        join; the unpartitioned window runs over that host-count frame, not
+        the batch, so the single-task sort is O(hosts), never O(popped)."""
+        from pyspark.sql import Window
+
+        counts = popped.groupBy("host").agg(F.count(F.lit(1)).alias("__cnt"))
+        w = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            "host", F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__off")
+        )
+        return (
+            popped.join(F.broadcast(offsets), "host")
+            .withColumn("grk", (F.col("__off") + F.col("rk")).cast("int"))
+            .drop("__off")
         )
 
     def _finish_frontier_cols(self, df: DataFrame) -> DataFrame:
@@ -502,13 +529,17 @@ class CrawlEngine:
         child_cap = 1 << self.seq_child_bits
         for _ in range(max_epochs):
             epoch = self.lake.last_committed() + 1
-            batch = politeness.pop_budget(
+            popped = politeness.pop_budget(
                 pending, budget=self.budget, num_salts=self.num_salts, tiebreak=[F.col("canon_url")]
             ).persist()
-            n_popped = batch.count()
+            n_popped = popped.count()
             if n_popped == 0:
-                batch.unpersist()
+                popped.unpersist()
                 break
+            # grk: globally unique per-epoch parent ordinal for seq packing
+            # (per-host rk aliases across hosts — ADVICE r2).  Lazy broadcast
+            # join on top of the persisted pop result.
+            batch = self._with_global_rank(popped)
 
             fetched = batch.join(
                 self.pages.select(F.col("page_hash").alias("url_hash"), "body"),
@@ -519,7 +550,7 @@ class CrawlEngine:
             # children: resolve reference-style (absolute pass-through, else
             # BASE_URL concat — members.py:76), canon+hash+robots at schedule time
             edges = U.with_canon(
-                parse_ops.extract_children(fetched).withColumn(
+                parse_ops.extract_children(fetched, rank_col="grk").withColumn(
                     "url",
                     F.when(
                         F.col("href").startswith("http://") | F.col("href").startswith("https://"),
@@ -569,14 +600,13 @@ class CrawlEngine:
             # Observation metrics instead of separate read-back count jobs.
             from concurrent.futures import ThreadPoolExecutor
 
-            obs_fetch = Observation()
             obs_edges = Observation()
             obs_frontier = Observation()
             obs_items = Observation()
             writes: list[tuple[str, DataFrame]] = [
                 ("fetch_log", batch.select(
-                    "url_hash", "canon_url", "seq", "depth", F.col("rk").alias("pop_rank")
-                ).observe(obs_fetch, F.max("pop_rank").alias("max_rk"))),
+                    "url_hash", "canon_url", "seq", "depth", F.col("grk").alias("pop_rank")
+                )),
                 ("edges", edges.select(
                     "parent_hash", "parent_seq", "child_idx", "url", "canon_url", "url_hash"
                 ).observe(obs_edges, F.count(F.lit(1)).alias("n"), F.max("child_idx").alias("max_child"))),
@@ -610,10 +640,13 @@ class CrawlEngine:
             n_new = int(obs_frontier.get["n"])
             n_items = int(obs_items.get["n"])
             if self.strict_seq:
-                max_rk = int(obs_fetch.get["max_rk"])
-                if max_rk > parent_cap:
+                # grk is DENSE over the epoch's popped parents, so the packed
+                # parent space overflows exactly when n_popped > 2^bits —
+                # an epoch-wide guard that holds on multi-host crawls too
+                # (per-host max rk could pass while packed ordinals alias).
+                if n_popped > parent_cap:
                     raise RuntimeError(
-                        f"epoch {epoch}: pop rank {max_rk} exceeds the "
+                        f"epoch {epoch}: {n_popped} popped parents exceed the "
                         f"2^{self.seq_parent_bits} seq-packing bound; raise "
                         f"seq_parent_bits or lower budget_per_host (lineage "
                         f"seq would alias)"
@@ -657,7 +690,7 @@ class CrawlEngine:
             old_pending = pending
             pending = next_pending
             old_pending.unpersist()
-            batch.unpersist()
+            popped.unpersist()
             fetched.unpersist()
             edges.unpersist()
         pending.unpersist()

@@ -20,7 +20,10 @@ def _images(spark, n=400, seed=3, planted=40):
         flipped = src
         for b in rng.choice(64, size=int(rng.integers(1, 4)), replace=False):
             flipped ^= 1 << int(b)
-        rows.append((f"img{j:06d}_nd", np.int64(np.uint64(flipped) & np.uint64(2**64 - 1)).item()))
+        # two's-complement wrap in pure Python ints: an out-of-bound uint64→
+        # int64 numpy cast is deprecated (future numpy hard-fails it)
+        v = flipped & (2**64 - 1)
+        rows.append((f"img{j:06d}_nd", v - 2**64 if v >= 2**63 else v))
     return spark.createDataFrame(rows, "image_id string, phash long")
 
 

@@ -48,3 +48,31 @@ def test_merge_batch_last_writer_wins(spark):
     )
     res = merge_upsert(cur, batch, ["type", "external_id"], batch_order_col="seq")
     assert res.merged.collect()[0]["v"] == "second"
+
+
+def test_merge_null_key_matches_null(spark):
+    """ADVICE r2: the voting natural key includes press_num, which fold_voting
+    legitimately emits as NULL — key comparison must be null-safe (the
+    reference omits absent keys from match_dict, i.e. NULL matches NULL).
+    Without eqNullSafe the NULL-press row re-classifies insert every batch
+    and duplicates in merged."""
+    cur = spark.createDataFrame(
+        [("voting", 1, 7, None, "prešiel"), ("voting", 2, 7, 55, "prešiel")],
+        "type string, external_id int, period_num int, press_num int, result string",
+    )
+    batch = spark.createDataFrame(
+        [("voting", 1, 7, None, "neprešiel"),   # NULL key: must match → update
+         ("voting", 2, 7, 55, "prešiel"),       # unchanged
+         ("voting", 3, 7, None, "prešiel")],    # genuinely new NULL-key row
+        "type string, external_id int, period_num int, press_num int, result string",
+    )
+    keys = ["type", "external_id", "period_num", "press_num"]
+    res = merge_upsert(cur, batch, keys)
+    actions = {r["external_id"]: r["action"] for r in res.actions.collect()}
+    assert actions == {1: "update", 2: "unchanged", 3: "insert"}
+    merged = sorted((r["external_id"], r["result"]) for r in res.merged.collect())
+    assert merged == [(1, "neprešiel"), (2, "prešiel"), (3, "prešiel")]  # no dup of key 1
+    # idempotence: re-applying the same batch is all-unchanged (the bug's
+    # symptom was insert-every-batch for NULL-key rows)
+    again = merge_upsert(res.merged, batch, keys)
+    assert {r["action"] for r in again.actions.collect()} == {"unchanged"}
