@@ -45,7 +45,15 @@ HEADLINE = [
 def frontier_throughput(
     spark, sf_dir: str, repeat: int = 5, mult: int | None = None
 ) -> tuple[float, int]:
-    """North metric: URLs scheduled+deduped per second (median of repeats).
+    """North metric: URLs scheduled+deduped per second (median of repeats)."""
+    med, _best, _times, n = frontier_throughput_detail(spark, sf_dir, repeat, mult)
+    return med, n
+
+
+def frontier_throughput_detail(
+    spark, sf_dir: str, repeat: int = 5, mult: int | None = None
+) -> tuple[float, float, list[float], int]:
+    """North metric with per-pass detail: (median u/s, best u/s, pass times, n).
 
     ``mult`` = candidate URLs per lineitem row (env
     ``SPARK_GRAFT_BENCH_MULT``, default 16 → 9.6M URLs at sf0.1): the
@@ -103,8 +111,8 @@ def frontier_throughput(
         # frontier (profiled: the pop window is the dominant stage; 16 salts
         # capped it at 16-way).  Size it ~2× the largest parallelism level so
         # every core gets work at every measured cluster size.
-        popped = politeness.pop_budget(
-            fresh, budget=1000, num_salts=64, tiebreak=[F.col("canon_url")]
+        popped = politeness.pop_budget_slim(
+            fresh, budget=1000, num_salts=64, tiebreak_cols=["url_hash"]
         )
         popped.select(F.count(F.lit(1))).collect()
         return time.perf_counter() - t0
@@ -117,7 +125,8 @@ def frontier_throughput(
     times = [one_pass() for _ in range(repeat)]
     segments.unpersist()
     med = sorted(times)[len(times) // 2]
-    return n_candidates / med, n_candidates
+    best = min(times)
+    return n_candidates / med, n_candidates / best, times, n_candidates
 
 
 def crawl_throughput(spark) -> tuple[float, int, float]:
@@ -167,8 +176,14 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
 
-    ups, n_urls = frontier_throughput(spark, sf_dir)
+    ups_med, ups_best, pass_times, n_urls = frontier_throughput_detail(spark, sf_dir)
     cps, n_pages, crawl_wall = crawl_throughput(spark)
+    # adjacent hardware-ceiling readings make this artifact self-normalizing:
+    # compare rounds via urls/s ÷ control, not raw urls/s (the VM's capacity
+    # wanders with external host contention — VERDICT r2)
+    from scripts.hw_controls import control_readings
+
+    controls = control_readings()
 
     out = {
         "metric": "headline suite wall time (sf dir); north: urls_scheduled_per_sec",
@@ -176,12 +191,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
-        "urls_scheduled_per_sec": round(ups),
+        # the REPRODUCIBLE number (median of repeats) is THE north metric;
+        # best-window is a footnote for cross-checking exceptional readings
+        "urls_scheduled_per_sec": round(ups_med),
+        "urls_scheduled_per_sec_best": round(ups_best),
+        "frontier_pass_times_sec": [round(t, 3) for t in pass_times],
         "frontier_urls": n_urls,
         "crawl_pages_per_sec": round(cps, 1),
         "crawl_pages": n_pages,
         "crawl_wall_sec": round(crawl_wall, 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        **controls,
     }
     print(json.dumps(out))
     spark.stop()

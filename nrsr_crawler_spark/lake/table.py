@@ -71,12 +71,15 @@ class EpochLake:
         table: str,
         upto: int | None = None,
         schema: str | None = None,
+        since: int = -1,
     ) -> DataFrame:
-        """Union of all committed deltas (≤ upto).  Uncommitted dirs ignored."""
+        """Union of all committed deltas in (since, upto].  Uncommitted dirs
+        ignored.  This is the FULL-HISTORY read — O(epoch count); hot-path
+        callers use :meth:`read_merged` (base + tail)."""
         last = self.last_committed() if upto is None else min(upto, self.last_committed())
         dirs = [
             self.delta_path(table, e)
-            for e in range(last + 1)
+            for e in range(since + 1, last + 1)
             if Path(self.delta_path(table, e)).exists()
         ]
         if not dirs:
@@ -86,3 +89,67 @@ class EpochLake:
         return (
             spark.read.option("basePath", str(self.root / table)).parquet(*dirs)
         )
+
+    # -- compaction (Iceberg rewrite_data_files stand-in) ----------------------
+    #
+    # A BASE is a derived acceleration snapshot: the merge-on-read projection
+    # of all deltas ≤ some epoch, written under ``table/_base/upto=N`` with an
+    # explicit ``epoch`` data column (the winning row's epoch) and committed
+    # by a marker file.  Deltas stay the authoritative history (replay /
+    # fetch_order certification still read them); ``read_merged`` reads base +
+    # the O(tail) deltas after it, so hot-path reads stop growing with epoch
+    # count.  Crash-safe: a base without its marker is ignored; the marker is
+    # written only after the parquet write completes.
+
+    _BASE_MARKER = "_BASE_COMMITTED"
+
+    def base_upto(self, table: str) -> int:
+        """Epoch of the newest committed base for ``table`` (-1 = none)."""
+        base = self.root / table / "_base"
+        if not base.exists():
+            return -1
+        uptos = [
+            int(p.name.split("=", 1)[1])
+            for p in base.glob("upto=*")
+            if (p / self._BASE_MARKER).exists()
+        ]
+        return max(uptos, default=-1)
+
+    def write_base(self, table: str, df: DataFrame, upto: int) -> None:
+        """Write a compacted base as of epoch ``upto`` (``df`` must carry the
+        ``epoch`` column) and garbage-collect older bases."""
+        from pyspark.sql import functions as F
+
+        path = self.root / table / "_base" / f"upto={upto}"
+        if path.exists():
+            shutil.rmtree(path)
+        # epoch as int matches the partition-discovery type of delta reads
+        df.withColumn("epoch", F.col("epoch").cast("int")).write.mode(
+            "overwrite"
+        ).parquet(str(path))
+        (path / self._BASE_MARKER).touch()  # commit point
+        for p in (self.root / table / "_base").glob("upto=*"):
+            if int(p.name.split("=", 1)[1]) < upto:
+                shutil.rmtree(p)
+
+    def read_merged(
+        self, spark: SparkSession, table: str, schema: str | None = None
+    ) -> DataFrame:
+        """Base (if any) + the deltas after it — O(base + tail) files instead
+        of O(all epochs).  Logically identical to :meth:`read_all` for
+        tables whose base is the per-key latest-row projection (the window
+        dedupe downstream picks the same winners either way)."""
+        upto = self.base_upto(table)
+        if upto < 0:
+            return self.read_all(spark, table, schema=schema)
+        base = spark.read.parquet(str(self.root / table / "_base" / f"upto={upto}"))
+        last = self.last_committed()
+        tail_dirs = [
+            self.delta_path(table, e)
+            for e in range(upto + 1, last + 1)
+            if Path(self.delta_path(table, e)).exists()
+        ]
+        if not tail_dirs:
+            return base
+        tail = spark.read.option("basePath", str(self.root / table)).parquet(*tail_dirs)
+        return base.unionByName(tail.withColumn("epoch", tail["epoch"].cast("int")))

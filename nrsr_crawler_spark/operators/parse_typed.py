@@ -183,19 +183,27 @@ def _kind_and_period(text: str):
     return (m.group(1), int(m.group(2))) if m else (None, None)
 
 
-def _extract_kind(pages: DataFrame, kind: str, fields, schema: str, extra=None) -> DataFrame:
+def _extract_kind(
+    pages: DataFrame, kind: str, fields, schema: str, extra=None,
+    kind_col: str | None = None,
+) -> DataFrame:
     """Shared raw extractor: pages of ``kind`` → one row of multi-valued
     string arrays per page (document order).  ``extra``: one ``(name, fn)``
     or a list of them — fn(text) computes a non-span column (nested tables,
     h1 text, ...).
 
-    A JVM-side ``contains`` prefilter on the dialect marker (the closing
-    quote excludes prefix dialects, e.g. bill vs billstep) keeps other
-    dialects' bodies out of the Arrow transfer entirely — with K dialects
-    extracted per epoch this cuts serialized bytes K× versus shipping every
-    body to every kernel; the kernel still re-checks the anchored marker."""
+    Prefilter (keeps other dialects' bodies out of the Arrow transfer — with
+    K dialects extracted per epoch this cuts serialized bytes K× versus
+    shipping every body to every kernel; the kernel still re-checks the full
+    dialect marker):
+     - ``kind_col`` given: the caller computed a dialect tag ONCE per body
+       (``with_kind`` / the epoch loop's single ``regexp_extract`` pass) and
+       this extractor filters on tag equality — one full-body scan total per
+       epoch instead of one per dialect (VERDICT r2 finding #3);
+     - else: a JVM-side ``contains`` on the id attribute marker (the closing
+       quote excludes prefix dialects, e.g. bill vs billstep)."""
     extras = [] if extra is None else ([extra] if isinstance(extra, tuple) else list(extra))
-    marker = f'<div id="{kind}"'
+    marker = f'id="{kind}"'
 
     def _gen(batches):
         for pdf in batches:
@@ -221,11 +229,11 @@ def _extract_kind(pages: DataFrame, kind: str, fields, schema: str, extra=None) 
             if rows["page_url"]:  # empty pandas frames infer float64 for
                 yield pd.DataFrame(rows)  # list columns and break Arrow
 
-    return (
-        pages.select("page_url", "body")
-        .filter(F.contains(F.col("body").cast("string"), F.lit(marker)))
-        .mapInPandas(_gen, schema=schema)
-    )
+    if kind_col is not None:
+        pre = pages.filter(F.col(kind_col) == kind)
+    else:
+        pre = pages.filter(F.contains(F.col("body").cast("string"), F.lit(marker)))
+    return pre.select("page_url", "body").mapInPandas(_gen, schema=schema)
 
 
 def _parse_votes_table(text: str) -> list[dict]:
@@ -414,84 +422,76 @@ def _parse_status_div(text: str) -> str | None:
     return m.group(1) if m else None
 
 
-def extract_member_raw(pages: DataFrame) -> DataFrame:
-    return _extract_kind(pages, "member", _MEMBER_FIELDS, MEMBER_RAW_SCHEMA)
+def extract_member_raw(pages: DataFrame, kind_col: str | None = None) -> DataFrame:
+    return _extract_kind(pages, "member", _MEMBER_FIELDS, MEMBER_RAW_SCHEMA, kind_col=kind_col)
 
 
-def extract_voting_raw(pages: DataFrame) -> DataFrame:
+def extract_voting_raw(pages: DataFrame, kind_col: str | None = None) -> DataFrame:
     return _extract_kind(
         pages, "voting", _VOTING_FIELDS, VOTING_RAW_SCHEMA,
-        extra=("votes", _parse_votes_table),
-    )
+        extra=("votes", _parse_votes_table), kind_col=kind_col)
 
 
-def extract_press_raw(pages: DataFrame) -> DataFrame:
-    return _extract_kind(pages, "press", _PRESS_FIELDS, PRESS_RAW_SCHEMA)
+def extract_press_raw(pages: DataFrame, kind_col: str | None = None) -> DataFrame:
+    return _extract_kind(pages, "press", _PRESS_FIELDS, PRESS_RAW_SCHEMA, kind_col=kind_col)
 
 
-def extract_debate_raw(pages: DataFrame) -> DataFrame:
-    return _extract_kind(pages, "debate", _DEBATE_FIELDS, DEBATE_RAW_SCHEMA)
+def extract_debate_raw(pages: DataFrame, kind_col: str | None = None) -> DataFrame:
+    return _extract_kind(pages, "debate", _DEBATE_FIELDS, DEBATE_RAW_SCHEMA, kind_col=kind_col)
 
 
-def extract_bill_step_raw(pages: DataFrame) -> DataFrame:
+def extract_bill_step_raw(pages: DataFrame, kind_col: str | None = None) -> DataFrame:
     return _extract_kind(
         pages, "billstep", _BILL_STEP_FIELDS, BILL_STEP_RAW_SCHEMA,
-        extra=("changes", _parse_changes_table),
-    )
+        extra=("changes", _parse_changes_table), kind_col=kind_col)
 
 
-def extract_session_raw(pages: DataFrame) -> DataFrame:
+def extract_session_raw(pages: DataFrame, kind_col: str | None = None) -> DataFrame:
     return _extract_kind(
         pages, "session", ("name",), SESSION_RAW_SCHEMA,
-        extra=[("attachments", _parse_attachments), ("program", _parse_program_table)],
-    )
+        extra=[("attachments", _parse_attachments), ("program", _parse_program_table)], kind_col=kind_col)
 
 
-def extract_committee_raw(pages: DataFrame) -> DataFrame:
+def extract_committee_raw(pages: DataFrame, kind_col: str | None = None) -> DataFrame:
     return _extract_kind(
         pages, "committee", ("description",), COMMITTEE_RAW_SCHEMA,
-        extra=[("h1_name", _parse_h1), ("members", _parse_members_list)],
-    )
+        extra=[("h1_name", _parse_h1), ("members", _parse_members_list)], kind_col=kind_col)
 
 
-def extract_commsched_raw(pages: DataFrame) -> DataFrame:
+def extract_commsched_raw(pages: DataFrame, kind_col: str | None = None) -> DataFrame:
     return _extract_kind(
         pages, "commsched", ("committee_name",), COMMSCHED_RAW_SCHEMA,
-        extra=[("sessions", _parse_sessions)],
-    )
+        extra=[("sessions", _parse_sessions)], kind_col=kind_col)
 
 
-def extract_bill_raw(pages: DataFrame) -> DataFrame:
-    return _extract_kind(pages, "bill", _BILL_FIELDS, BILL_RAW_SCHEMA)
+def extract_bill_raw(pages: DataFrame, kind_col: str | None = None) -> DataFrame:
+    return _extract_kind(pages, "bill", _BILL_FIELDS, BILL_RAW_SCHEMA, kind_col=kind_col)
 
 
-def extract_member_change_raw(pages: DataFrame) -> DataFrame:
+def extract_member_change_raw(pages: DataFrame, kind_col: str | None = None) -> DataFrame:
     return _extract_kind(
         pages, "mchange", (), MCHANGE_RAW_SCHEMA,
-        extra=[("changes", _parse_mch_rows)],
-    )
+        extra=[("changes", _parse_mch_rows)], kind_col=kind_col)
 
 
-def extract_amendment_raw(pages: DataFrame) -> DataFrame:
+def extract_amendment_raw(pages: DataFrame, kind_col: str | None = None) -> DataFrame:
     return _extract_kind(
         pages, "amendment", _AMEND_FIELDS, AMEND_RAW_SCHEMA,
         extra=[
             ("other_submitters", _parse_ul("subm")),
             ("signed_members", _parse_ul("signed")),
             ("votelink", _parse_votelink),
-        ],
-    )
+        ], kind_col=kind_col)
 
 
-def extract_interpellation_raw(pages: DataFrame) -> DataFrame:
-    return _extract_kind(pages, "interpellation", _INTERP_FIELDS, INTERP_RAW_SCHEMA)
+def extract_interpellation_raw(pages: DataFrame, kind_col: str | None = None) -> DataFrame:
+    return _extract_kind(pages, "interpellation", _INTERP_FIELDS, INTERP_RAW_SCHEMA, kind_col=kind_col)
 
 
-def extract_hoq_raw(pages: DataFrame) -> DataFrame:
+def extract_hoq_raw(pages: DataFrame, kind_col: str | None = None) -> DataFrame:
     return _extract_kind(
         pages, "hoq", _HOQ_FIELDS, HOQ_RAW_SCHEMA,
-        extra=[("status_raw", _parse_status_div)],
-    )
+        extra=[("status_raw", _parse_status_div)], kind_col=kind_col)
 
 
 # -- folds: ItemLoader output-processor semantics as Column expressions --------
@@ -850,3 +850,44 @@ def daily_clubs(voting: DataFrame) -> DataFrame:
         F.col("external_id").alias("voting_external_id"),
         per_club.alias("clubs"),
     )
+
+
+# -- single-pass kind dispatch (SURVEY §2.10; VERDICT r2 top_next) -------------
+#
+# The epoch loop computes ONE dialect tag per fetched body (``kind_expr`` —
+# a single JVM regexp pass), then routes each body to exactly one extractor
+# keyed on that tag: 13 dialects cost one full-body scan per epoch, not 13.
+# Alternation order matters only for prefix pairs (billstep before bill);
+# the leftmost dialect <div> wins, same as ``_kind_and_period``'s search.
+
+# dialect tag → (sink item_type = merge_sink.NATURAL_KEYS key, extractor, fold)
+TYPED_SINKS: dict[str, tuple[str, object, object]] = {
+    "member": ("member", extract_member_raw, fold_member),
+    "voting": ("voting", extract_voting_raw, fold_voting),
+    "press": ("press", extract_press_raw, fold_press),
+    "debate": ("debate_appearance", extract_debate_raw, fold_debate),
+    "billstep": ("bill_step", extract_bill_step_raw, fold_bill_step),
+    "session": ("session", extract_session_raw, fold_session),
+    "committee": ("committee", extract_committee_raw, fold_committee),
+    "commsched": ("committeeschedule", extract_commsched_raw, fold_commsched),
+    "bill": ("bill", extract_bill_raw, fold_bill),
+    "mchange": ("member_change", extract_member_change_raw, fold_member_change),
+    "amendment": ("amendment", extract_amendment_raw, fold_amendment),
+    "interpellation": ("interpellation", extract_interpellation_raw, fold_interpellation),
+    "hoq": ("hour_of_questions", extract_hoq_raw, fold_hoq),
+}
+
+_KIND_ALTERNATION = (
+    "billstep|bill|commsched|committee|member|voting|press|debate|session"
+    "|mchange|amendment|interpellation|hoq"
+)
+# the dialect marker is a <div> whose id attribute names the dialect; the
+# [^>]* keeps the match inside one tag so e.g. <a id="votelink"> or
+# <div id="status"> (hoq sub-div) never claim the page
+KIND_RE = r'<div[^>]*id="(' + _KIND_ALTERNATION + r')"'
+
+
+def kind_expr(body_col) -> F.Column:
+    """Dialect tag of a page body ('' when no dialect div) — compute once per
+    fetched body, feed every extractor via ``kind_col``."""
+    return F.regexp_extract(body_col.cast("string"), KIND_RE, 1)

@@ -68,3 +68,45 @@ def pop_budget(
     return survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
         F.col(rank_col) <= budget
     )
+
+
+def pop_budget_slim(
+    frontier: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    salt_col: str = "url_hash",
+    num_salts: int = 16,
+    rank_col: str = "rk",
+    tiebreak_cols: list[str] | None = None,
+    key_col: str = "url_hash",
+) -> DataFrame:
+    """Shuffle-lean :func:`pop_budget`: identical result, a fraction of the
+    exchanged bytes (VERDICT r2 next #2 — the engine is memory-bandwidth
+    bound, and the pop windows re-shuffle the WHOLE pending set every epoch).
+
+    The two window exchanges run over ONLY the ordering columns
+    (key/host/priority/seq + tiebreaks ≈ 40 B/row instead of the full row
+    with url/canon/lineage strings ≈ 200 B), then the ≤ budget×hosts winners
+    are broadcast back onto the full frontier — a map-side hash join, no
+    extra exchange of the big side.
+
+    Preconditions:
+     - ``key_col`` is unique per frontier row (true post-dedup: the pending
+       set is keyed by url fingerprint), so the rejoin is 1:1;
+     - ``tiebreak_cols`` must make the per-host order total, same as
+       ``pop_budget`` — the fingerprint itself is the natural choice: 8
+       bytes, always present, distinct per row.
+    """
+    tiebreak_cols = list(tiebreak_cols or [])
+    slim_cols = list(dict.fromkeys([key_col, host_col, "priority", "seq", salt_col] + tiebreak_cols))
+    popped = pop_budget(
+        frontier.select(*slim_cols),
+        budget,
+        host_col=host_col,
+        salt_col=salt_col,
+        num_salts=num_salts,
+        rank_col=rank_col,
+        tiebreak=[F.col(c) for c in tiebreak_cols],
+    )
+    keys = popped.select(key_col, rank_col)
+    return frontier.join(F.broadcast(keys), key_col)

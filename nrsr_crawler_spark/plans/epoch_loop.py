@@ -73,6 +73,7 @@ from nrsr_crawler_spark.functions import urls as U
 from nrsr_crawler_spark.lake.table import EpochLake
 from nrsr_crawler_spark.operators import frontier as frontier_ops
 from nrsr_crawler_spark.operators import parse as parse_ops
+from nrsr_crawler_spark.operators import parse_typed as PT
 from nrsr_crawler_spark.operators import cuckoo as cuckoo_ops
 from nrsr_crawler_spark.operators import politeness, robots, seen as seen_ops
 
@@ -116,6 +117,7 @@ class CrawlEngine:
         seq_parent_bits: int = 20,
         seq_child_bits: int = 20,
         typed_items: bool = True,
+        compact_every: int = 64,
     ):
         self.spark = spark
         self.lake = EpochLake(lake_root)
@@ -136,6 +138,7 @@ class CrawlEngine:
         self.seq_parent_bits = seq_parent_bits
         self.seq_child_bits = seq_child_bits
         self.typed_items = typed_items
+        self.compact_every = compact_every
         if seq_parent_bits + seq_child_bits > _SEQ_EPOCH_SHIFT:
             raise ValueError(
                 f"seq_parent_bits + seq_child_bits must fit below the epoch "
@@ -266,7 +269,9 @@ class CrawlEngine:
         cur = self.lake.last_committed()
         if cur < 0:
             raise ValueError("nothing crawled yet")
-        log = self.lake.read_all(
+        # read_merged: the latest-fetch base + tail is exactly what the TTL
+        # groupBy needs (max-epoch per url_hash) — O(base+tail), not O(history)
+        log = self.lake.read_merged(
             self.spark, "fetch_log", schema=FETCHLOG_SCHEMA + ", epoch int"
         )
         old = (
@@ -276,6 +281,54 @@ class CrawlEngine:
             .select("url_hash")
         )
         return self.expire(old, mode=mode)
+
+    def compact(self) -> None:
+        """Rewrite the merge-on-read acceleration bases (VERDICT r2 #2/#4):
+        the latest-per-key projection of every keyed store as of the last
+        committed epoch, so subsequent ``read_merged`` reads touch O(base +
+        tail) files instead of O(all epochs).  Deltas remain the authoritative
+        history (replay/fetch_order certification untouched) — this is the
+        parquet stand-in for Iceberg ``rewrite_data_files``.
+
+        Keys: ``frontier``/``fetch_log`` by ``url_hash`` (a tombstone only
+        ever needs the LATEST row per URL — an older row is either superseded
+        by the newer one or removed by the same epoch-bounded anti-join, so
+        the latest-row base is read-equivalent to full history for every
+        consumer except fetch_order, which reads raw deltas); ``items_*`` by
+        the type's natural key (same window typed_store applies on read).
+
+        Run automatically every ``compact_every`` epochs; idempotent and
+        crash-safe (a base commits via marker file AFTER its parquet write)."""
+        from pyspark.sql import Window
+
+        from nrsr_crawler_spark.operators import merge_sink
+
+        upto = self.lake.last_committed()
+        if upto < 0:
+            return
+
+        def latest_per(table: str, keys: list, schema: str | None = None) -> None:
+            df = self.lake.read_merged(self.spark, table, schema=schema)
+            order = [F.col("epoch").desc()] + (
+                [F.col("url").desc()] if "url" in df.columns else []
+            )
+            w = Window.partitionBy(*keys).orderBy(*order)
+            base = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            self.lake.write_base(table, base, upto)
+
+        from pathlib import Path
+
+        if Path(self.lake.delta_path("frontier", 0)).exists() or self.lake.base_upto("frontier") >= 0:
+            latest_per("frontier", ["url_hash"])
+        latest_per("fetch_log", ["url_hash"], schema=FETCHLOG_SCHEMA + ", epoch int")
+        for p in sorted(self.lake.root.iterdir()):
+            if p.is_dir() and p.name.startswith("items_"):
+                item_type = p.name[len("items_"):]
+                latest_per(p.name, list(merge_sink.natural_keys_for(item_type)))
 
     def enqueue_seeds(self, seeds: list[str]) -> None:
         rows = [(u, i) for i, u in enumerate(seeds)]
@@ -475,9 +528,10 @@ class CrawlEngine:
                 raise ValueError("fresh lake needs seeds")
             self.enqueue_seeds(seeds)
 
-        # one-time state build: O(committed history) on resume, O(seeds) fresh.
-        frontier_all = self.lake.read_all(self.spark, "frontier")
-        fetched_log = self.lake.read_all(
+        # one-time state build: O(base + tail) on resume (read_merged — the
+        # compacted latest-per-url base plus post-base deltas), O(seeds) fresh.
+        frontier_all = self.lake.read_merged(self.spark, "frontier")
+        fetched_log = self.lake.read_merged(
             self.spark, "fetch_log", schema=FETCHLOG_SCHEMA + ", epoch int"
         )
         # recrawl/TTL tombstones (see expire()): 'forget' evicts the URL from
@@ -529,8 +583,15 @@ class CrawlEngine:
         child_cap = 1 << self.seq_child_bits
         for _ in range(max_epochs):
             epoch = self.lake.last_committed() + 1
-            popped = politeness.pop_budget(
-                pending, budget=self.budget, num_salts=self.num_salts, tiebreak=[F.col("canon_url")]
+            # slim pop: the two window exchanges over the WHOLE pending set
+            # carry only (url_hash, host, priority, seq) — the full rows
+            # (url/canon/lineage strings) rejoin via broadcast of the
+            # ≤ budget×hosts winners.  Order is total without strings:
+            # ``seq`` is unique by construction (packed lineage) and the
+            # fingerprint tiebreak covers any future non-unique seq source.
+            popped = politeness.pop_budget_slim(
+                pending, budget=self.budget, num_salts=self.num_salts,
+                tiebreak_cols=["url_hash"],
             ).persist()
             n_popped = popped.count()
             if n_popped == 0:
@@ -545,7 +606,13 @@ class CrawlEngine:
                 self.pages.select(F.col("page_hash").alias("url_hash"), "body"),
                 "url_hash",
                 "left",
-            ).persist()
+            )
+            if self.typed_items:
+                # ONE dialect-tag pass per body (VERDICT r2 finding #3): every
+                # typed extractor below filters on this cached column instead
+                # of re-scanning the full body per dialect
+                fetched = fetched.withColumn("__kind", PT.kind_expr(F.col("body")))
+            fetched = fetched.persist()
 
             # children: resolve reference-style (absolute pass-through, else
             # BASE_URL concat — members.py:76), canon+hash+robots at schedule time
@@ -617,17 +684,23 @@ class CrawlEngine:
                 # typed item extraction (SURVEY §2.10 end-to-end): parse
                 # fetched bodies into ITEM_SPECS structs and append per-type
                 # DELTAS — write volume ∝ batch; the merged store is the
-                # merge-on-read view (typed_store), Iceberg MERGE at deploy
-                from nrsr_crawler_spark.operators import parse_typed as PT
-
+                # merge-on-read view (typed_store), Iceberg MERGE at deploy.
+                # ALL 13 reference dialects are wired (pipelines.py:34-145
+                # keys every spider's items); the tiny kind-count job both
+                # materializes the fetched cache BEFORE the concurrent write
+                # fan-out and lets empty dialects skip their write job.
+                kind_counts = {
+                    r["__kind"]: r["n"]
+                    for r in fetched.groupBy("__kind").agg(F.count(F.lit(1)).alias("n")).collect()
+                }
                 typed_pages = fetched.select(
-                    F.col("canon_url").alias("page_url"), "body"
+                    F.col("canon_url").alias("page_url"), "body", "__kind"
                 )
-                writes += [
-                    ("items_member", PT.fold_member(PT.extract_member_raw(typed_pages))),
-                    ("items_voting", PT.fold_voting(PT.extract_voting_raw(typed_pages))),
-                    ("items_press", PT.fold_press(PT.extract_press_raw(typed_pages))),
-                ]
+                for kind, (item_type, extract_fn, fold_fn) in PT.TYPED_SINKS.items():
+                    if kind_counts.get(kind, 0) > 0:
+                        writes.append(
+                            (f"items_{item_type}", fold_fn(extract_fn(typed_pages, kind_col="__kind")))
+                        )
             with ThreadPoolExecutor(max_workers=len(writes)) as pool:
                 futs = [
                     pool.submit(self.lake.write_delta, table, df, epoch)
@@ -660,6 +733,8 @@ class CrawlEngine:
                 epoch,
                 {"kind": "crawl", "popped": n_popped, "enqueued": n_new, "items": n_items, "edges": n_edges},
             )
+            if self.compact_every and epoch > 0 and epoch % self.compact_every == 0:
+                self.compact()
             total_fetched += n_popped
             total_enqueued += n_new
             total_items += n_items
@@ -704,16 +779,18 @@ class CrawlEngine:
     # -- final state ----------------------------------------------------------
     def typed_store(self, item_type: str) -> DataFrame:
         """Merge-on-read view of a typed item table: per-epoch deltas
-        deduplicated by the type's natural key, LAST writer (highest epoch)
-        wins — the parquet stand-in for Iceberg ``MERGE INTO`` keyed by
-        pipelines.py:37-131's match_dict (merge_sink.NATURAL_KEYS)."""
+        deduplicated by the type's natural key, LAST writer (highest epoch,
+        ``url`` as the deterministic in-epoch tiebreak) wins — the parquet
+        stand-in for Iceberg ``MERGE INTO`` keyed by pipelines.py:37-131's
+        match_dict (merge_sink.NATURAL_KEYS).  Reads O(base + tail) files
+        (compact() bases), not O(epoch count) — VERDICT r2 finding #2."""
         from pyspark.sql import Window
 
         from nrsr_crawler_spark.operators import merge_sink
 
         keys = list(merge_sink.natural_keys_for(item_type))
-        deltas = self.lake.read_all(self.spark, f"items_{item_type}")
-        w = Window.partitionBy(*keys).orderBy(F.col("epoch").desc())
+        deltas = self.lake.read_merged(self.spark, f"items_{item_type}")
+        w = Window.partitionBy(*keys).orderBy(F.col("epoch").desc(), F.col("url").desc())
         return (
             deltas.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -722,7 +799,7 @@ class CrawlEngine:
 
     def seen_set(self) -> DataFrame:
         """Final URL-seen set (dupefilter contents): everything ever enqueued."""
-        return self.lake.read_all(self.spark, "frontier").select("url_hash", "canon_url")
+        return self.lake.read_merged(self.spark, "frontier").select("url_hash", "canon_url")
 
     def fetch_order(self) -> DataFrame:
         """Fetch order as executed: (epoch, pop_rank) lexicographic."""

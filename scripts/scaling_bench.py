@@ -18,11 +18,13 @@ Output: one JSON line; numbers are pasted into BASELINE.md.
 from __future__ import annotations
 
 import json
-import multiprocessing as mp
+
 import os
 import subprocess
 import sys
-import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from scripts.hw_controls import cpu_control, mem_control  # noqa: E402
 
 CHILD = r"""
 import json, os, sys
@@ -55,49 +57,6 @@ def run_level(cpus: int, repo: str, mult: int) -> dict:
         check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
-
-
-def _burn(n: int) -> int:
-    x = 0
-    for i in range(n):
-        x += i * i % 7
-    return x
-
-
-def cpu_control(workers: int, per: int = 6_000_000, tasks_factor: int = 4) -> float:
-    """Pure-CPU ops/sec at ``workers`` processes — the hardware ceiling probe."""
-    tasks = workers * tasks_factor
-    with mp.Pool(workers) as p:
-        t0 = time.perf_counter()
-        p.map(_burn, [per] * tasks)
-        dt = time.perf_counter() - t0
-    return tasks * per / dt
-
-
-def _copy(n_iters: int) -> int:
-    import numpy as np
-
-    a = np.empty(64 << 20, dtype=np.uint8)  # 64 MB, far beyond LLC
-    b = np.empty_like(a)
-    for _ in range(n_iters):
-        np.copyto(b, a)
-        np.copyto(a, b)
-    return 0
-
-
-def mem_control(workers: int, iters: int = 12, tasks_factor: int = 4) -> float:
-    """Memory-bandwidth bytes/sec at ``workers`` processes.  The ALU control
-    (cpu_control) scales near-linearly on this VM while streaming copies do
-    not — a shuffle/Arrow-heavy engine is bounded by THIS ceiling, not the
-    ALU one.  On real N→4N executors each node brings its own memory
-    subsystem, so the shared-bandwidth penalty measured here does not apply.
-    """
-    tasks = workers * tasks_factor
-    with mp.Pool(workers) as p:
-        t0 = time.perf_counter()
-        p.map(_copy, [iters] * tasks)
-        dt = time.perf_counter() - t0
-    return tasks * iters * 2 * (64 << 20) / dt
 
 
 def main() -> None:

@@ -77,3 +77,30 @@ def test_pop_budget_matches_naive_randomized(spark):
         )
         diff = got.exceptAll(naive).count() + naive.exceptAll(got).count()
         assert diff == 0, (trial, n, n_hosts, budget, num_salts)
+
+
+def test_pop_budget_slim_matches_full(spark):
+    """Shuffle-lean variant: identical winner set + ranks, full row payload
+    carried back by the broadcast rejoin, and the window exchanges must NOT
+    ship the wide payload columns."""
+    from nrsr_crawler_spark.operators.politeness import pop_budget_slim
+
+    fr = _frontier(spark).withColumn(
+        "canon_url", F.concat(F.lit("https://www.nrsr.sk/web/x?id="), F.col("seq"))
+    ).withColumn("payload", F.repeat(F.lit("z"), 50))
+    full = pop_budget(fr, budget=9, tiebreak=[F.col("url_hash")])
+    slim = pop_budget_slim(fr, budget=9, tiebreak_cols=["url_hash"])
+    a = sorted(map(repr, full.select("host", "seq", "rk", "canon_url", "payload").collect()))
+    b = sorted(map(repr, slim.select("host", "seq", "rk", "canon_url", "payload").collect()))
+    assert a == b and len(a) > 0
+
+    plan = slim._jdf.queryExecution().executedPlan().toString()
+    # winners come back via broadcast, not another big-side exchange
+    assert "BroadcastHashJoin" in plan
+    # the window sort operates on the slim projection: no payload strings
+    import re
+
+    window_sections = [s for s in plan.split("Window") if "windowspecdefinition" in s.lower()]
+    for sec in re.findall(r"Sort \[[^\]]*\]", plan):
+        if "priority" in sec:  # the pop-order sorts
+            assert "payload" not in sec and "canon_url" not in sec
