@@ -33,37 +33,58 @@ from pyspark.sql import functions as F
 
 from nrsr_crawler_spark.functions import cleaners as C
 
-_SPAN_RE = re.compile(r'<span class="([a-z_]+)">(.*?)</span>', re.S)
-_DIV_RE = re.compile(
-    r'<div id="(member|voting|press|debate|billstep|session|committee|commsched'
-    r'|bill|mchange|amendment|interpellation|hoq)"'
-    r'[^>]*data-period="(\d+)"'
+# Kernel regexes are ATTRIBUTE-ORDER/WHITESPACE tolerant (real markup — and
+# tests/test_markup_fuzz.py — permutes attribute order, varies inter-attribute
+# whitespace and injects benign extra attributes): a tag is matched by name +
+# the presence of the identifying attribute anywhere inside the SAME tag
+# ([^>]* never crosses '>'), never by an exact serialization.
+
+
+def _tag_body(tag: str, attr: str, value: str):
+    """``<tag ... attr="value" ...>(body)</tag>`` with attrs in any order."""
+    return re.compile(
+        r"<%s\b[^>]*\b%s=\"%s\"[^>]*>(.*?)</%s>" % (tag, attr, re.escape(value), tag),
+        re.S,
+    )
+
+
+_SPAN_RE = re.compile(r'<span\b[^>]*\bclass="([a-z_]+)"[^>]*>(.*?)</span>', re.S)
+_DIV_TAG_RE = re.compile(r"<div\b[^>]*>")
+_ID_ATTR_RE = re.compile(r'\bid="([^"]*)"')
+_PERIOD_ATTR_RE = re.compile(r'\bdata-period="(\d+)"')
+_DIALECTS = frozenset(
+    (
+        "member", "voting", "press", "debate", "billstep", "session",
+        "committee", "commsched", "bill", "mchange", "amendment",
+        "interpellation", "hoq",
+    )
 )
-_TR_RE = re.compile(r"<tr>(.*?)</tr>", re.S)
-_CLUB_TD_RE = re.compile(r'<td class="club">(.*?)</td>', re.S)
-_MEMBER_TD_RE = re.compile(r'<td class="member">(.*?)</td>', re.S)
-_VOTE_TD_RE = re.compile(r'<td class="vote">(.*?)</td>', re.S)
-_HREF_RE = re.compile(r'href="([^"]*)"')
-_CHANGES_TABLE_RE = re.compile(r'<table id="changes">(.*?)</table>', re.S)
-_TD_RE = re.compile(r"<td>(.*?)</td>", re.S)
-_A_TEXT_RE = re.compile(r"<a[^>]*>(.*?)</a>", re.S)
-_PROGRAM_TABLE_RE = re.compile(r'<table id="program">(.*?)</table>', re.S)
-_ATT_RE = re.compile(r'<a class="att" href="([^"]*)">(.*?)</a>', re.S)
-_IMG_ALT_RE = re.compile(r'<img alt="([^"]*)"')
-_STRONG_RE = re.compile(r"<strong[^>]*>(.*?)</strong>", re.S)
-_I_RE = re.compile(r"<i[^>]*>(.*?)</i>", re.S)
+_TR_RE = re.compile(r"<tr\b[^>]*>(.*?)</tr>", re.S)
+_CLUB_TD_RE = _tag_body("td", "class", "club")
+_MEMBER_TD_RE = _tag_body("td", "class", "member")
+_VOTE_TD_RE = _tag_body("td", "class", "vote")
+_HREF_RE = re.compile(r'\bhref="([^"]*)"')
+_CHANGES_TABLE_RE = _tag_body("table", "id", "changes")
+_TD_RE = re.compile(r"<td\b[^>]*>(.*?)</td>", re.S)
+_A_TEXT_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S)
+_A_TAG_BODY_RE = re.compile(r"<a\b([^>]*)>(.*?)</a>", re.S)
+_A_OPEN_RE = re.compile(r"<a\b([^>]*)>")
+_PROGRAM_TABLE_RE = _tag_body("table", "id", "program")
+_CLASS_ATTR_RE = re.compile(r'\bclass="([^"]*)"')
+_IMG_ALT_RE = re.compile(r'<img\b[^>]*\balt="([^"]*)"')
+_STRONG_RE = re.compile(r"<strong\b[^>]*>(.*?)</strong>", re.S)
+_I_RE = re.compile(r"<i\b[^>]*>(.*?)</i>", re.S)
 _TAG_RE = re.compile(r"<[^>]+>")
-_H1_RE = re.compile(r"<h1>(.*?)</h1>", re.S)
-_MEMBER_DIV_RE = re.compile(r'<div class="member_name">(.*?)</div>', re.S)
-_SPAN_TEXT_RE = re.compile(r"<span[^>]*>(.*?)</span>", re.S)
-_SESS_RE = re.compile(r'<div class="sess">(.*?)<!--/sess-->', re.S)
-_MCH_TABLE_RE = re.compile(r'<table id="mch">(.*?)</table>', re.S)
-_STATUS_DIV_RE = re.compile(r'<div id="status">(.*?)</div>', re.S)
-_VOTELINK_RE = re.compile(r'<a id="votelink" href="([^"]*)"')
-_DATE_SPAN_RE = re.compile(r'<span class="date">(.*?)</span>', re.S)
-_TIME_RE = re.compile(r'<strong class="time">(.*?)</strong>', re.S)
-_PLACE_RE = re.compile(r'<div class="place">(.*?)</div>', re.S)
-_LI_RE = re.compile(r"<li>(.*?)</li>", re.S)
+_H1_RE = re.compile(r"<h1\b[^>]*>(.*?)</h1>", re.S)
+_MEMBER_DIV_RE = _tag_body("div", "class", "member_name")
+_SPAN_TEXT_RE = re.compile(r"<span\b[^>]*>(.*?)</span>", re.S)
+_SESS_RE = re.compile(r'<div\b[^>]*\bclass="sess"[^>]*>(.*?)<!--/sess-->', re.S)
+_MCH_TABLE_RE = _tag_body("table", "id", "mch")
+_STATUS_DIV_RE = _tag_body("div", "id", "status")
+_DATE_SPAN_RE = _tag_body("span", "class", "date")
+_TIME_RE = _tag_body("strong", "class", "time")
+_PLACE_RE = _tag_body("div", "class", "place")
+_LI_RE = re.compile(r"<li\b[^>]*>(.*?)</li>", re.S)
 
 MEMBER_RAW_SCHEMA = (
     "page_url string, period_num long, external_id array<string>, "
@@ -179,8 +200,17 @@ def _spans(text: str) -> dict[str, list[str]]:
 
 
 def _kind_and_period(text: str):
-    m = _DIV_RE.search(text)
-    return (m.group(1), int(m.group(2))) if m else (None, None)
+    """First <div> carrying both a dialect id and data-period — attributes in
+    any order (must agree with ``kind_expr``'s JVM dispatch, which also keys
+    on the dialect div regardless of attribute order)."""
+    for m in _DIV_TAG_RE.finditer(text):
+        tag = m.group(0)
+        mid = _ID_ATTR_RE.search(tag)
+        if mid and mid.group(1) in _DIALECTS:
+            mp = _PERIOD_ATTR_RE.search(tag)
+            if mp:
+                return mid.group(1), int(mp.group(1))
+    return None, None
 
 
 def _extract_kind(
@@ -291,7 +321,14 @@ def _parse_changes_table(text: str) -> list[dict]:
 
 def _parse_attachments(text: str) -> list[dict]:
     """sessions.py:83-88: the program-document anchors → (href, name)."""
-    return [{"href": h, "name": n} for h, n in _ATT_RE.findall(text)]
+    out: list[dict] = []
+    for attrs, body in _A_TAG_BODY_RE.findall(text):
+        cls = _CLASS_ATTR_RE.search(attrs)
+        if not cls or cls.group(1) != "att":
+            continue
+        href = _HREF_RE.search(attrs)
+        out.append({"href": href.group(1) if href else None, "name": body})
+    return out
 
 
 def _parse_program_table(text: str) -> list[dict]:
@@ -397,7 +434,7 @@ def _parse_mch_rows(text: str) -> list[dict]:
 
 
 def _parse_ul(ul_id: str):
-    ul_re = re.compile(r'<ul id="%s">(.*?)</ul>' % re.escape(ul_id), re.S)
+    ul_re = _tag_body("ul", "id", ul_id)
 
     def fn(text: str) -> list[str]:
         m = ul_re.search(text)
@@ -413,8 +450,13 @@ def _parse_ul(ul_id: str):
 
 
 def _parse_votelink(text: str) -> str | None:
-    m = _VOTELINK_RE.search(text)
-    return m.group(1) if m else None
+    for m in _A_OPEN_RE.finditer(text):
+        attrs = m.group(1)
+        mid = _ID_ATTR_RE.search(attrs)
+        if mid and mid.group(1) == "votelink":
+            href = _HREF_RE.search(attrs)
+            return href.group(1) if href else None
+    return None
 
 
 def _parse_status_div(text: str) -> str | None:
