@@ -547,3 +547,65 @@ def images_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = phash_neardup_pairs(images, max_hamming=3, n_bands=8)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Connected-components grouping over the near-dup graph: CHAIN-shaped phash
+# clusters (groups of 5 whose masks nest — consecutive members differ by ONE
+# bit, the chain's ends by four) where the single-hop min-id convention
+# under-merges; phash_connected_groups iterates min-label propagation to the
+# fixpoint a recursive-CTE oracle derives independently.
+# ---------------------------------------------------------------------------
+_PH_CHAIN_SQL = """
+        SELECT printf('img%010d', c_custkey) AS image_id,
+               CAST(xor(
+                 ((((c_custkey - 1) // 5) * 2654435761) % 2147483648)
+                 + ((((c_custkey - 1) // 5) * 2246822519 + 2531011) % 2147483648) * 2147483648,
+                 ((CAST(1 AS BIGINT) << CAST((c_custkey - 1) % 5 AS INTEGER)) - 1) * 256
+               ) AS BIGINT) AS phash
+        FROM customer WHERE c_custkey BETWEEN 1 AND 1000
+"""
+
+
+@query(
+    "images_phash_cc_groups",
+    f"""
+    WITH RECURSIVE ph AS ({_PH_CHAIN_SQL}),
+    pairs AS (
+        SELECT a.image_id AS id_a, b.image_id AS id_b
+        FROM ph a JOIN ph b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 1
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT image_id, image_id FROM ph
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id AS image_id, MIN(r) AS rep FROM reach GROUP BY id
+    """,
+)
+def images_phash_cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.image_dedup import (
+        phash_connected_groups,
+        phash_neardup_pairs,
+    )
+
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey").between(1, 1000))
+    base = F.floor((F.col("c_custkey") - 1) / 5).cast("long")
+    m1 = (base * 2654435761) % 2147483648
+    m2 = (base * 2246822519 + 2531011) % 2147483648
+    # nested masks: member j of a group flips bits 8..8+j-1 — hamming between
+    # members i and j is |i-j|, so max_hamming=1 admits ONLY the chain edges
+    mask = F.expr(
+        "(shiftleft(CAST(1 AS BIGINT), CAST((c_custkey - 1) % 5 AS INT)) - 1) * 256"
+    )
+    images = cust.select(
+        F.format_string("img%010d", F.col("c_custkey")).alias("image_id"),
+        (m1 + m2 * 2147483648).bitwiseXOR(mask).alias("phash"),
+    )
+    pairs = phash_neardup_pairs(images, max_hamming=1, n_bands=8)
+    return phash_connected_groups(pairs, images)

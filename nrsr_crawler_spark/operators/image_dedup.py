@@ -100,3 +100,52 @@ def phash_neardup_groups(
         F.col(id_col),
         F.coalesce(F.col("rep"), F.col(id_col)).alias("rep"),
     )
+
+
+def phash_connected_groups(
+    pairs: DataFrame,
+    images: DataFrame,
+    id_col: str = "image_id",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """FULL connected components over the near-dup pair edges — the flagged
+    alternative to :func:`phash_neardup_groups`' single-hop convention, for
+    CHAIN-shaped clusters (a—b—c within distance d pairwise-adjacent but
+    a—c beyond it): single-hop maps c→b while the whole chain is one
+    component and should keep one representative.
+
+    Iterated min-label propagation to fixpoint: each round every node takes
+    the min label among itself and its neighbors — one join + one aggregate
+    over (|edges| + |nodes|) rows, ``localCheckpoint`` truncating lineage.
+    Round count is the component DIAMETER, which for near-dup balls is small
+    and bounded (a Hamming-ball chain of length L needs L rounds; real
+    near-dup graphs are dense blobs, 2-4 rounds).  Raises after
+    ``max_rounds`` instead of silently under-merging.
+
+    Returns (id, rep) for EVERY image, rep = min id of its component —
+    deterministic, engine-portable (a recursive-CTE oracle derives the same
+    fixpoint)."""
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = images.select(F.col(id_col).alias("a"), F.col(id_col).alias("rep")).localCheckpoint()
+    for _ in range(max_rounds):
+        prop = edges.join(labels, "a").select(F.col("b").alias("a"), "rep")
+        new_labels = (
+            labels.unionByName(prop).groupBy("a").agg(F.min("rep").alias("rep"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("rep", "__old"), "a")
+            .filter(F.col("rep") != F.col("__old"))
+            .count()
+        )
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if changed == 0:
+            return labels.select(F.col("a").alias(id_col), "rep")
+    raise RuntimeError(
+        f"phash_connected_groups did not converge in {max_rounds} rounds "
+        f"(component diameter exceeds the bound; raise max_rounds)"
+    )

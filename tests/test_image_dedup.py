@@ -79,3 +79,54 @@ def test_group_representatives(spark):
     pairs = ID.phash_neardup_pairs(images, max_hamming=2, n_bands=8)
     reps = {r["image_id"]: r["rep"] for r in ID.phash_neardup_groups(pairs, images).collect()}
     assert reps == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+def _chain_images(spark, groups=6, length=5):
+    """Chains: member j of a group flips bits 8..8+j-1 of the group base, so
+    consecutive members are Hamming 1 apart and the ends are ``length-1``."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in range(groups):
+        base = int(rng.integers(-(2**63), 2**63 - 1, dtype=np.int64))
+        for j in range(length):
+            v = (base ^ (((1 << j) - 1) << 8)) & (2**64 - 1)
+            rows.append((f"img{g:03d}_{j}", v - 2**64 if v >= 2**63 else v))
+    return spark.createDataFrame(rows, "image_id string, phash long")
+
+
+def _union_find_oracle(rows, pairs):
+    parent = {r: r for r, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp = {}
+    for r, _ in rows:
+        comp.setdefault(find(r), []).append(r)
+    return {i: min(members) for root, members in comp.items() for i in members}
+
+
+def test_connected_groups_merge_chains_where_single_hop_undermerges(spark):
+    images = _chain_images(spark)
+    pairs = ID.phash_neardup_pairs(images, max_hamming=1, n_bands=8)
+    pair_rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    rows = [(r["image_id"], r["phash"]) for r in images.collect()]
+
+    expected = _union_find_oracle(rows, pair_rows)
+    got = {r["image_id"]: r["rep"] for r in ID.phash_connected_groups(pairs, images).collect()}
+    assert got == expected
+    # each chain is ONE component rooted at its j=0 member
+    assert all(rep.endswith("_0") for rep in got.values())
+
+    # the single-hop convention demonstrably under-merges the chain tails
+    single = {r["image_id"]: r["rep"] for r in ID.phash_neardup_groups(pairs, images).collect()}
+    assert single != expected
+    assert any(not rep.endswith("_0") for rep in single.values())
