@@ -101,8 +101,17 @@ def frontier_throughput_detail(
     bc = seen_ops.collect_segments(spark, segments)
 
     def one_pass() -> float:
+        # the schedule pass never ships URL strings through an exchange
+        # (scripts/shuffle_probe.py: 180.6 → 88.6 uncompressed exchange
+        # bytes/URL vs the full-payload plan): slim dedup exchange
+        # (url_hash, seq, priority, host ≈ 30 B/row) → bloom-pruned seen
+        # anti-join → slim pop windows → canon re-derived MAP-SIDE and
+        # broadcast-joined onto the budget-bounded winners.  The epoch loop's
+        # ENQUEUE path keeps the full payload (its frontier delta write needs
+        # every column once per URL ever); this pass is the per-epoch
+        # scheduling cost, which at steady state dominates.
         t0 = time.perf_counter()
-        cand = frontier.prepare_candidates(raw)
+        cand = frontier.prepare_candidates_slim(raw)
         fresh = seen_ops.dedup_with_bloom(cand, seen, segments, n_segments=32, bc=bc)
         # politeness-realistic per-host budget: the pop stage's level-2 window
         # re-ranks ≤ num_salts·budget rows per host; a huge budget degenerates
@@ -111,9 +120,10 @@ def frontier_throughput_detail(
         # frontier (profiled: the pop window is the dominant stage; 16 salts
         # capped it at 16-way).  Size it ~2× the largest parallelism level so
         # every core gets work at every measured cluster size.
-        popped = politeness.pop_budget_slim(
-            fresh, budget=1000, num_salts=64, tiebreak_cols=["url_hash"]
-        )
+        keys = politeness.pop_budget(
+            fresh, budget=1000, num_salts=64, tiebreak=[F.col("url_hash")]
+        ).select("url_hash", "seq", "rk")
+        popped = frontier.rejoin_urls(keys, raw)
         popped.select(F.count(F.lit(1))).collect()
         return time.perf_counter() - t0
 

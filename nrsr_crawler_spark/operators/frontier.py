@@ -53,6 +53,80 @@ def prepare_candidates(raw: DataFrame, url_col: str = "url", seq_col: str = "seq
     return winners.filter(F.col("canon_url").isNotNull())
 
 
+def prepare_candidates_slim(
+    raw: DataFrame, url_col: str = "url", seq_col: str = "seq"
+) -> DataFrame:
+    """:func:`prepare_candidates` with NO URL strings through the dedup
+    exchange (VERDICT r2 next #2 — shuffled bytes/URL is the lever that
+    scales): the groupBy payload is (seq, meta..., host) ≈ 30 B/row instead
+    of carrying ``canon_url`` ≈ 100+ B.  The caller re-derives the canonical
+    URL map-side AFTER the budget-bounded pop and rejoins it by
+    ``(url_hash, seq)`` — see :func:`rejoin_urls`.
+
+    Winner identity: (url_hash, min seq) — the same winner
+    :func:`prepare_candidates` picks.  Exact duplicate raw rows (same url,
+    same seq — real frontiers contain them; even the driver's testdata
+    lineitem does) collapse in this groupBy and are re-collapsed by the
+    bounded final agg in :func:`rejoin_urls`, so the pair is duplicate-safe
+    end to end."""
+    meta_cols = [c for c in raw.columns if c not in (url_col, seq_col)]
+    prepared = U.with_canon(raw, url_col=url_col, hash_col="url_hash").drop(
+        url_col, "canon_url"
+    )
+    payload = F.struct(
+        F.col(seq_col).alias("__seq"), *[F.col(c) for c in meta_cols], F.col("host")
+    )
+    winners = (
+        prepared.groupBy("url_hash")
+        .agg(F.min(payload).alias("w"))
+        .select(
+            "url_hash",
+            F.col("w.__seq").alias(seq_col),
+            *[F.col(f"w.{c}").alias(c) for c in meta_cols],
+            F.col("w.host").alias("host"),
+        )
+    )
+    # canon NULL ⇒ host NULL, and invalid rows collapse into the xxhash64(NULL)
+    # group — same post-agg validity filter as prepare_candidates
+    return winners.filter(F.col("host").isNotNull())
+
+
+def rejoin_urls(
+    popped: DataFrame, raw: DataFrame, url_col: str = "url", seq_col: str = "seq"
+) -> DataFrame:
+    """Recover the canonical URL for a budget-bounded popped set: recompute
+    the canon MAP-SIDE over ``raw`` (no exchange) and broadcast-join the
+    popped keys onto it — URL strings never shuffle.
+
+    Shape: ONE broadcast of ``popped``, inner-joined on ``seq`` (a plain
+    long equality, evaluated BELOW the canon projection) so the recompute
+    pass pays regex/canon CPU only on rows that can match — O(budget ·
+    seq-dup-factor), not O(frontier) — then the exact winner is selected by
+    hash equality AFTER the canon.  A final groupBy on (url_hash, seq)
+    collapses exact duplicate raw rows (same url + same seq occurs in real
+    frontiers) back to ONE output row per popped key; that exchange carries
+    canon_url but is bounded by the POPPED set (≤ budget · hosts rows), so
+    the O(frontier)-scale stages still ship no URL strings — the invariant
+    that matters at 100 TB.  Deterministic: every duplicate has identical
+    canon_url (same hash) and identical carry columns (from the broadcast
+    side), and min() makes the collapse order-free.  Caveat: non-key
+    ``popped`` columns must not collide with ``raw`` column names (they are
+    carried through)."""
+    carry = [c for c in popped.columns if c not in ("url_hash", seq_col)]
+    want = popped.withColumnRenamed("url_hash", "__want_hash")
+    joined = raw.join(F.broadcast(want), seq_col)
+    prepared = U.with_canon(joined, url_col=url_col, hash_col="url_hash")
+    matched = prepared.filter(F.col("url_hash") == F.col("__want_hash"))
+    return (
+        matched.groupBy("url_hash", seq_col)
+        .agg(
+            F.min("canon_url").alias("canon_url"),
+            *[F.min(c).alias(c) for c in carry],
+        )
+        .select("url_hash", seq_col, "canon_url", *carry)
+    )
+
+
 def prepare_in_batch(candidates: DataFrame, seq_col: str = "seq") -> DataFrame:
     """In-batch exact dedup for candidates that already carry url_hash:
     keep the first-scheduled row (min ``seq``, deterministic tiebreak over the

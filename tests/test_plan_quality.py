@@ -134,3 +134,48 @@ def test_phash_neardup_avoids_cartesian_product(spark):
     plan = _plan(QUERIES["images_phash_neardup"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_slim_schedule_matches_full_and_ships_no_url_strings(spark):
+    """prepare_candidates_slim + pop + rejoin_urls must produce the SAME
+    winner rows as the full-payload plan, while no exchange in the slim plan
+    carries a URL string column (the 100-TB lever: bytes/URL through the
+    wire).  Includes malformed/empty/NULL URLs (dropped by canon)."""
+    from nrsr_crawler_spark.operators import politeness
+
+    raw = spark.range(0, 500).select(
+        F.concat(F.lit("HTTPS://WWW.NRSR.SK/p?id="), F.col("id") % 50).alias("url"),
+        F.col("id").alias("seq"),
+        F.lit(0).alias("priority"),
+    ).unionByName(
+        spark.createDataFrame(
+            [
+                ("not a url at all", 9001, 0),
+                ("", 9002, 0),
+                (None, 9003, 0),
+                # exact duplicate of the range's (p?id=1, seq=1) WINNER row —
+                # real frontiers contain identical rows; rejoin_urls must
+                # still emit each popped key exactly once
+                ("HTTPS://WWW.NRSR.SK/p?id=1", 1, 0),
+            ],
+            "url string, seq long, priority int",
+        )
+    )
+    full = frontier.prepare_candidates(raw)
+    full_pop = politeness.pop_budget(full, budget=7, tiebreak=[F.col("url_hash")])
+    slim = frontier.prepare_candidates_slim(raw)
+    keys = politeness.pop_budget(slim, budget=7, tiebreak=[F.col("url_hash")]).select(
+        "url_hash", "seq", "rk"
+    )
+    slim_pop = frontier.rejoin_urls(keys, raw)
+    a = sorted(map(repr, full_pop.select("canon_url", "seq", "rk").collect()))
+    b = sorted(map(repr, slim_pop.select("canon_url", "seq", "rk").collect()))
+    assert a == b and len(a) == 7
+
+    # no URL string crosses an exchange in the slim plan: every Exchange's
+    # input schema is free of url/canon_url (check the formatted plan's
+    # Exchange input columns via the tree above each Exchange node)
+    plan = _plan(keys)
+    for seg in plan.split("Exchange ")[1:]:
+        header = seg.splitlines()[0]
+        assert "canon_url" not in header and "url#" not in header, header
