@@ -609,3 +609,194 @@ def images_phash_cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = phash_neardup_pairs(images, max_hamming=1, n_bands=8)
     return phash_connected_groups(pairs, images)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-trap templates: URL-shape explosion guard (operators/traps.py) — a
+# calendar/session-id family generating one distinct URL per row must be
+# flagged while a bounded id enumeration (500 pages) stays under budget.
+# Half the raw URLs arrive messy (uppercase scheme+host, fragment) and must
+# collapse through canonicalization before counting.
+# ---------------------------------------------------------------------------
+@query(
+    "crawl_trap_templates",
+    """
+    WITH urls AS (
+        SELECT DISTINCT 'https://www.nrsr.sk/web/Default.aspx?ID=' || (o_orderkey % 500)
+               || '&sid=zakony' AS canon_url
+        FROM orders
+        UNION
+        SELECT DISTINCT 'https://www.nrsr.sk/web/calendar.aspx?day=' || o_orderkey
+               || '&session=s' || o_orderkey
+        FROM orders
+    )
+    SELECT host, template, n_urls FROM (
+        SELECT 'www.nrsr.sk' AS host,
+               regexp_replace(canon_url, '[0-9]+', 'N', 'g') AS template,
+               COUNT(*) AS n_urls
+        FROM urls GROUP BY 1, 2
+    ) WHERE n_urls > 600
+    """,
+)
+def crawl_trap_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators import frontier, traps
+
+    orders = load(spark, sf_dir, "orders")
+    # messy variants (uppercase scheme+host + fragment) on even orderkeys:
+    # canon must collapse them onto the lowercase form before templating
+    prefix = F.when(
+        F.col("o_orderkey") % 2 == 0, F.lit("HTTPS://WWW.NRSR.SK")
+    ).otherwise(F.lit("https://www.nrsr.sk"))
+    frag = F.when(F.col("o_orderkey") % 2 == 0, F.lit("#top")).otherwise(F.lit(""))
+    legit = orders.select(
+        F.concat(
+            prefix,
+            F.lit("/web/Default.aspx?ID="),
+            F.col("o_orderkey") % 500,
+            F.lit("&sid=zakony"),
+            frag,
+        ).alias("url"),
+        F.col("o_orderkey").alias("seq"),
+        F.lit(0).alias("priority"),
+    )
+    trap = orders.select(
+        F.concat(
+            prefix,
+            F.lit("/web/calendar.aspx?day="),
+            F.col("o_orderkey"),
+            F.lit("&session=s"),
+            F.col("o_orderkey"),
+            frag,
+        ).alias("url"),
+        (F.col("o_orderkey") + F.lit(100000000)).alias("seq"),
+        F.lit(0).alias("priority"),
+    )
+    cand = frontier.prepare_candidates(legit.unionByName(trap))
+    return traps.trap_templates(cand, max_urls=600)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup-aware training manifest: keep the smallest QUALITY-PASSING member
+# of each phash near-dup group (operators/image_dedup.neardup_manifest) —
+# the dedup→select→shard step of a multimodal pretraining pipeline.  Groups
+# of 4 reuse the images_phash_neardup construction; dims derive from
+# c_custkey so the quality gate (min side ≥ 48 px, aspect within 2×) is
+# engine-portable integer arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "images_train_manifest",
+    f"""
+    WITH ph AS (
+        SELECT image_id, phash,
+               32 + (CAST(substr(image_id, 4) AS BIGINT) % 7) * 16 AS w,
+               32 + (CAST(substr(image_id, 4) AS BIGINT) % 5) * 16 AS h
+        FROM ({_PH_SQL})
+    ),
+    pairs AS (
+        SELECT a.image_id AS id_a, b.image_id AS id_b
+        FROM ph a JOIN ph b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ),
+    grp AS (
+        SELECT p.image_id, coalesce(m.rep, p.image_id) AS rep
+        FROM ph p LEFT JOIN (
+            SELECT id_b AS image_id, MIN(id_a) AS rep FROM pairs GROUP BY id_b
+        ) m USING (image_id)
+    ),
+    q AS (
+        SELECT image_id,
+               (least(w, h) >= 48 AND w <= 2 * h AND h <= 2 * w) AS ok
+        FROM ph
+    )
+    SELECT rep,
+           MIN(CASE WHEN ok THEN image_id END) AS kept_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+    FROM grp JOIN q USING (image_id)
+    GROUP BY rep
+    HAVING MIN(CASE WHEN ok THEN image_id END) IS NOT NULL
+    """,
+)
+def images_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.image_dedup import (
+        neardup_manifest,
+        phash_neardup_groups,
+        phash_neardup_pairs,
+    )
+
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey").between(1, 2000))
+    base = F.floor((F.col("c_custkey") - 1) / 4).cast("long")
+    m1 = (base * 2654435761) % 2147483648
+    m2 = (base * 2246822519 + 2531011) % 2147483648
+    flip = F.expr(
+        "CASE WHEN c_custkey % 4 <> 0 "
+        "THEN shiftleft(CAST(1 AS BIGINT), CAST((c_custkey % 4) * 13 AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    images = cust.select(
+        F.format_string("img%010d", F.col("c_custkey")).alias("image_id"),
+        (m1 + m2 * 2147483648).bitwiseXOR(flip).alias("phash"),
+        (F.lit(32) + (F.col("c_custkey") % 7) * 16).alias("w"),
+        (F.lit(32) + (F.col("c_custkey") % 5) * 16).alias("h"),
+    )
+    pairs = phash_neardup_pairs(images, max_hamming=3, n_bands=8)
+    groups = phash_neardup_groups(pairs, images)
+    quality = images.select(
+        "image_id",
+        (
+            (F.least("w", "h") >= 48)
+            & (F.col("w") <= 2 * F.col("h"))
+            & (F.col("h") <= 2 * F.col("w"))
+        ).alias("ok"),
+    )
+    return neardup_manifest(groups, quality)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (operators/sampling.py): fixed quota of
+# documents per (predicted language × length bucket) stratum, ordered by
+# md5(doc_id) — the training-mixture balancing step.  The Spark side runs
+# the salted two-level window (no single-reducer stratum at 10^10 rows); the
+# oracle runs the naive single window — identical results because the salted
+# level-1 keeps a superset of the true per-stratum top-k.
+# ---------------------------------------------------------------------------
+@query(
+    "docs_stratified_sample",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+    ),
+    hits AS (SELECT doc_id, len(tk) AS n_tokens, {_HITS_SQL} FROM toks),
+    feat AS (
+        SELECT doc_id,
+               CASE WHEN hits_de >= greatest(hits_en, hits_sk, 1) THEN 'de'
+                    WHEN hits_en >= greatest(hits_de, hits_sk, 1) THEN 'en'
+                    WHEN hits_sk >= greatest(hits_de, hits_en, 1) THEN 'sk'
+                    ELSE 'unk' END AS pred_lang,
+               CAST(least(n_tokens // 25, 3) AS INTEGER) AS bucket,
+               md5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM hits
+    )
+    SELECT doc_id, pred_lang, bucket, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT doc_id, pred_lang, bucket,
+               row_number() OVER (PARTITION BY pred_lang, bucket ORDER BY ord) AS rn
+        FROM feat
+    ) WHERE rn <= 10
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.sampling import stratified_topk
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    feat = T.lang_scores(docs, "text").select(
+        "doc_id",
+        "pred_lang",
+        F.least(F.floor(T.token_count(F.col("text")) / 25), F.lit(3))
+        .cast("int")
+        .alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("__ord"),
+    )
+    out = stratified_topk(
+        feat, ["pred_lang", "bucket"], F.col("__ord"), k=10, num_salts=8
+    )
+    return out.select("doc_id", "pred_lang", "bucket", "rn")

@@ -149,3 +149,35 @@ def phash_connected_groups(
         f"phash_connected_groups did not converge in {max_rounds} rounds "
         f"(component diameter exceeds the bound; raise max_rounds)"
     )
+
+
+def neardup_manifest(
+    groups: DataFrame,
+    quality: DataFrame,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Near-dup-aware training-data manifest: from each near-dup group keep
+    the SMALLEST-id member that passes the quality gate — the step a
+    multimodal pretraining pipeline runs between dedup and shard-writing
+    (keep one copy per visual cluster, and make it a usable one, instead of
+    blindly keeping the min id which may be the corrupt/tiny variant).
+
+    ``groups`` is (id, rep) from :func:`phash_neardup_groups` or
+    :func:`phash_connected_groups`; ``quality`` is (id, ok:boolean).  Output
+    one row per group with at least one passing member:
+    (rep, kept_id = min passing id, n_members, n_quality).  Groups whose
+    every member fails the gate are dropped — nothing worth training on.
+
+    Scale shape: one broadcast-or-shuffle equi-join on id + one groupBy on
+    rep.  Group keys are near-dup representatives — high cardinality, no
+    skew (group sizes are Hamming-ball sized, not power-law)."""
+    joined = groups.join(quality, id_col)
+    return (
+        joined.groupBy("rep")
+        .agg(
+            F.min(F.when(F.col("ok"), F.col(id_col))).alias("kept_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("ok").cast("int")).alias("n_quality"),
+        )
+        .filter(F.col("kept_id").isNotNull())
+    )

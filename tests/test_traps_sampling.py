@@ -1,0 +1,93 @@
+"""Unit tests for crawl-trap detection (operators/traps.py), stratified
+sampling (operators/sampling.py) and the near-dup training manifest
+(operators/image_dedup.neardup_manifest)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nrsr_crawler_spark.operators import politeness, traps
+from nrsr_crawler_spark.operators.image_dedup import neardup_manifest
+from nrsr_crawler_spark.operators.sampling import stratified_topk
+
+
+def _frontier(spark, n_trap=50, n_legit=10):
+    trap = spark.range(n_trap).select(
+        F.concat(F.lit("https://www.nrsr.sk/cal.aspx?day="), F.col("id")).alias("canon_url"),
+        F.lit("www.nrsr.sk").alias("host"),
+        # traps get the HIGHEST seqs: under LIFO they would pop first
+        # without demotion, so the pop assertion below tests the demotion
+        (F.col("id") + 1000).alias("seq"),
+        F.lit(0).alias("priority"),
+    )
+    legit = spark.range(n_legit).select(
+        F.concat(F.lit("https://www.nrsr.sk/page.aspx?ID="), F.col("id") % 5).alias("canon_url"),
+        F.lit("www.nrsr.sk").alias("host"),
+        F.col("id").alias("seq"),
+        F.lit(0).alias("priority"),
+    ).dropDuplicates(["canon_url"])
+    return trap.unionByName(legit).withColumn("url_hash", F.xxhash64("canon_url"))
+
+
+def test_trap_templates_flags_only_exploding_shapes(spark):
+    fr = _frontier(spark)
+    flagged = traps.trap_templates(fr, max_urls=20).collect()
+    assert len(flagged) == 1
+    row = flagged[0]
+    assert row.template == "https://www.nrsr.sk/cal.aspx?day=N"
+    assert row.n_urls == 50 and row.host == "www.nrsr.sk"
+
+
+def test_demote_traps_pushes_trap_urls_behind_legit(spark):
+    fr = _frontier(spark)
+    t = traps.trap_templates(fr, max_urls=20)
+    demoted = traps.demote_traps(fr, t, penalty=10)
+    assert set(demoted.columns) == set(fr.columns)
+    # all 5 legit pages must pop before any trap URL under the priority order
+    popped = politeness.pop_budget(demoted, budget=5, tiebreak=[F.col("canon_url")])
+    urls = [r.canon_url for r in popped.collect()]
+    assert len(urls) == 5 and all("page.aspx" in u for u in urls)
+    # demotion, not deletion: the trap rows are still present
+    assert demoted.count() == fr.count()
+
+
+def test_stratified_topk_matches_naive_window_and_is_deterministic(spark):
+    from pyspark.sql.window import Window
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 3).cast("int").alias("stratum"),
+        F.md5(F.concat(F.lit("doc"), F.col("id"))).alias("ord"),
+    )
+    got = stratified_topk(df, ["stratum"], F.col("ord"), k=7, num_salts=4)
+    naive = (
+        df.withColumn("rn", F.row_number().over(Window.partitionBy("stratum").orderBy("ord")))
+        .filter(F.col("rn") <= 7)
+    )
+    a = sorted((r.stratum, r.rn, r.doc_id) for r in got.collect())
+    b = sorted((r.stratum, r.rn, r.doc_id) for r in naive.collect())
+    assert a == b and len(a) == 21
+    again = sorted(
+        (r.stratum, r.rn, r.doc_id)
+        for r in stratified_topk(df, ["stratum"], F.col("ord"), k=7, num_salts=4).collect()
+    )
+    assert again == a
+
+
+def test_neardup_manifest_picks_smallest_passing_member(spark):
+    groups = spark.createDataFrame(
+        [
+            ("a1", "a1"), ("a2", "a1"), ("a3", "a1"),  # a1 fails quality
+            ("b1", "b1"), ("b2", "b1"),                # all fail
+            ("c1", "c1"),                              # singleton, passes
+        ],
+        "image_id string, rep string",
+    )
+    quality = spark.createDataFrame(
+        [("a1", False), ("a2", True), ("a3", True), ("b1", False), ("b2", False), ("c1", True)],
+        "image_id string, ok boolean",
+    )
+    rows = {r.rep: r for r in neardup_manifest(groups, quality).collect()}
+    assert set(rows) == {"a1", "c1"}  # b-group dropped: nothing passes
+    assert rows["a1"].kept_id == "a2" and rows["a1"].n_members == 3 and rows["a1"].n_quality == 2
+    assert rows["c1"].kept_id == "c1" and rows["c1"].n_members == 1 and rows["c1"].n_quality == 1
