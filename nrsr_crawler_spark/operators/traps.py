@@ -40,6 +40,14 @@ def url_template(url: Column) -> Column:
     return F.regexp_replace(url, _DIGIT_RUN, "N")
 
 
+def tpl_hash(host: Column, canon_url: Column) -> Column:
+    """8-byte fingerprint of (host, template) — stored on each frontier row
+    so the trap guard needs NO string columns at schedule time: template
+    counting aggregates this long, and pop-time demotion is a broadcast
+    join on it (the slim pop exchange stays URL-string-free)."""
+    return F.xxhash64(host, url_template(canon_url))
+
+
 def trap_templates(
     frontier: DataFrame,
     max_urls: int,

@@ -76,10 +76,12 @@ from nrsr_crawler_spark.operators import parse as parse_ops
 from nrsr_crawler_spark.operators import parse_typed as PT
 from nrsr_crawler_spark.operators import cuckoo as cuckoo_ops
 from nrsr_crawler_spark.operators import politeness, robots, seen as seen_ops
+from nrsr_crawler_spark.operators import traps
 
 FRONTIER_SCHEMA = (
     "url string, canon_url string, url_hash long, host string, host_shard long, "
-    "depth int, priority int, seq long, parent_hash long, segment_id int"
+    "depth int, priority int, seq long, parent_hash long, segment_id int, "
+    "tpl_hash long"
 )
 FETCHLOG_SCHEMA = "url_hash long, canon_url string, seq long, depth int, pop_rank int"
 EXPIRED_SCHEMA = "url_hash long, mode string, epoch int"
@@ -118,6 +120,8 @@ class CrawlEngine:
         seq_child_bits: int = 20,
         typed_items: bool = True,
         compact_every: int = 64,
+        trap_max_urls: int | None = None,
+        trap_penalty: int = 1_000_000,
     ):
         self.spark = spark
         self.lake = EpochLake(lake_root)
@@ -139,6 +143,14 @@ class CrawlEngine:
         self.seq_child_bits = seq_child_bits
         self.typed_items = typed_items
         self.compact_every = compact_every
+        # crawl-trap guard (operators/traps.py): when set, templates whose
+        # frontier population exceeds trap_max_urls are demoted by
+        # trap_penalty at pop time.  Counting is O(delta) per epoch (only
+        # newly enqueued rows aggregate; the running (tpl_hash, n) store
+        # merges like the seen set) and demotion is a broadcast join on the
+        # stored 8-byte tpl_hash — no strings at schedule time.
+        self.trap_max_urls = trap_max_urls
+        self.trap_penalty = trap_penalty
         if seq_parent_bits + seq_child_bits > _SEQ_EPOCH_SHIFT:
             raise ValueError(
                 f"seq_parent_bits + seq_child_bits must fit below the epoch "
@@ -206,6 +218,9 @@ class CrawlEngine:
             "seq",
             "parent_hash",
             seen_ops.segment_id(F.col("url_hash"), self.n_segments).alias("segment_id"),
+            # (host, digit-run template) fingerprint — 8 bytes/row buys the
+            # trap guard string-free schedule-time demotion (operators/traps)
+            traps.tpl_hash(F.col("host"), F.col("canon_url")).alias("tpl_hash"),
         )
 
     def expire(self, urls: DataFrame, mode: str = "refetch") -> int:
@@ -531,6 +546,12 @@ class CrawlEngine:
         # one-time state build: O(base + tail) on resume (read_merged — the
         # compacted latest-per-url base plus post-base deltas), O(seeds) fresh.
         frontier_all = self.lake.read_merged(self.spark, "frontier")
+        if "tpl_hash" not in frontier_all.columns:
+            # lake written before the trap-guard column existed: backfill
+            # map-side from the stored canon (schema evolution, no rewrite)
+            frontier_all = frontier_all.withColumn(
+                "tpl_hash", traps.tpl_hash(F.col("host"), F.col("canon_url"))
+            )
         fetched_log = self.lake.read_merged(
             self.spark, "fetch_log", schema=FETCHLOG_SCHEMA + ", epoch int"
         )
@@ -578,6 +599,16 @@ class CrawlEngine:
                 self._build_bloom(seen, seen_count)
         epochs_since_collapse = 0
 
+        # trap guard: running (tpl_hash, n) counts — one bounded aggregate
+        # over the resume-time frontier, then O(delta) merges per epoch
+        tpl_counts = None
+        if self.trap_max_urls is not None:
+            tpl_counts = (
+                frontier_all.groupBy("tpl_hash")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+
         total_fetched = total_enqueued = total_items = 0
         parent_cap = 1 << self.seq_parent_bits
         child_cap = 1 << self.seq_child_bits
@@ -589,8 +620,27 @@ class CrawlEngine:
             # ≤ budget×hosts winners.  Order is total without strings:
             # ``seq`` is unique by construction (packed lineage) and the
             # fingerprint tiebreak covers any future non-unique seq source.
+            to_pop = pending
+            if tpl_counts is not None:
+                # demote exploding URL shapes BEFORE the pop windows: the
+                # flagged set is a handful of (tpl_hash) longs (shapes, not
+                # URLs) — broadcast left join + map-side priority adjust,
+                # nothing extra crosses the window exchanges
+                flagged = tpl_counts.filter(
+                    F.col("n") > self.trap_max_urls
+                ).select("tpl_hash", F.lit(True).alias("__trapped"))
+                to_pop = (
+                    pending.join(F.broadcast(flagged), "tpl_hash", "left")
+                    .withColumn(
+                        "priority",
+                        F.when(
+                            F.col("__trapped"), F.col("priority") - self.trap_penalty
+                        ).otherwise(F.col("priority")),
+                    )
+                    .drop("__trapped")
+                )
             popped = politeness.pop_budget_slim(
-                pending, budget=self.budget, num_salts=self.num_salts,
+                to_pop, budget=self.budget, num_salts=self.num_salts,
                 tiebreak_cols=["url_hash"],
             ).persist()
             n_popped = popped.count()
@@ -747,6 +797,18 @@ class CrawlEngine:
                 next_pending = pending.join(popped_keys, "url_hash", "left_anti").unionByName(
                     committed_new
                 ).localCheckpoint()
+                if tpl_counts is not None:
+                    # O(delta) merge: only the newly enqueued rows aggregate;
+                    # the running store is (distinct templates)-sized
+                    delta_counts = committed_new.groupBy("tpl_hash").agg(
+                        F.count(F.lit(1)).alias("n")
+                    )
+                    tpl_counts = (
+                        tpl_counts.unionByName(delta_counts)
+                        .groupBy("tpl_hash")
+                        .agg(F.sum("n").alias("n"))
+                        .localCheckpoint()
+                    )
                 new_hashes = committed_new.select("url_hash")
                 seen_count += n_new
                 next_seen = seen.unionByName(new_hashes)

@@ -88,17 +88,19 @@ def main() -> None:
         lo_ups = (l1["urls_per_sec"] + l2["urls_per_sec"]) / 2
         hi_ups = (h1["urls_per_sec"] + h2["urls_per_sec"]) / 2
         eff = (hi_ups / lo_ups) / 4.0
-        out["pairs"].append(
-            {
-                f"urls_per_sec_local{lo}": [round(l1["urls_per_sec"]), round(l2["urls_per_sec"])],
-                f"urls_per_sec_local{hi}": [round(h1["urls_per_sec"]), round(h2["urls_per_sec"])],
-                "eff_abba": round(eff, 3),
-                "cpu_control_eff": round(ctl_eff, 3),
-                "mem_control_eff": round(mem_eff, 3),
-                "eff_normalized": round(min(eff / ctl_eff, 1.0), 3),
-                "eff_vs_mem_ceiling": round(min(eff / mem_eff, 1.0), 3),
-            }
-        )
+        pair = {
+            f"urls_per_sec_local{lo}": [round(l1["urls_per_sec"]), round(l2["urls_per_sec"])],
+            f"urls_per_sec_local{hi}": [round(h1["urls_per_sec"]), round(h2["urls_per_sec"])],
+            "eff_abba": round(eff, 3),
+            "cpu_control_eff": round(ctl_eff, 3),
+            "mem_control_eff": round(mem_eff, 3),
+            "eff_normalized": round(min(eff / ctl_eff, 1.0), 3),
+            "eff_vs_mem_ceiling": round(min(eff / mem_eff, 1.0), 3),
+        }
+        out["pairs"].append(pair)
+        # flush each completed pair to stderr so a timeout/kill still
+        # leaves every finished ABBA round on record
+        print(json.dumps(pair), file=sys.stderr, flush=True)
         out["frontier_urls"] = l1["frontier_urls"]
     effs = sorted(p["eff_abba"] for p in out["pairs"])
     out["eff_median"] = effs[len(effs) // 2]
