@@ -166,6 +166,75 @@ def assign_fetch_slots(
     )
 
 
+_TRAP_STATE_SCHEMA = StructType([StructField("n", LongType())])
+
+
+def _trapped_output_schema(input_schema: StructType) -> StructType:
+    return StructType(
+        list(input_schema.fields)
+        + [StructField("tpl_seen", LongType()), StructField("trapped", StringType())]
+    )
+
+
+def flag_trap_templates_stream(
+    prepared: DataFrame,
+    max_urls: int,
+    host_col: str = "host",
+    url_col: str = "canon_url",
+    order_col: str = "seq",
+) -> DataFrame:
+    """Streaming crawl-trap guard (operators/traps.py lifted to Structured
+    Streaming): durable per-(host, URL-template) counters via
+    ``applyInPandasWithState``, so an infinite calendar discovered over many
+    micro-batches is caught exactly when its cumulative population crosses
+    ``max_urls`` — batch-mode counting would need the whole history re-read
+    per batch.
+
+    Each output row carries ``tpl_seen`` (this URL's 1-based ordinal within
+    its template, durable across batches and restarts via the checkpointed
+    state store) and ``trapped`` ('y'/'n': ordinal past the budget).  Rows
+    are ordered by ``order_col`` within the batch so the crossing point is
+    deterministic.  Downstream sinks route trapped='y' rows to the
+    demoted/parked queue — same demote-don't-drop policy as the batch guard.
+
+    Scale shape: state is one long per DISTINCT (host, template) — shapes,
+    not URLs — and the shuffle key (host, template) is exactly the
+    aggregation key, one exchange."""
+    from nrsr_crawler_spark.operators import traps
+
+    tagged = prepared.withColumn("template", traps.url_template(F.col(url_col)))
+    out_schema = _trapped_output_schema(tagged.schema)
+    out_cols = [f.name for f in out_schema.fields]
+
+    def flag(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            batch = pdf.sort_values(order_col)
+            ordinals = pd.RangeIndex(n + 1, n + 1 + len(batch))
+            ords = ordinals.to_numpy()
+            batch = batch.assign(
+                tpl_seen=ords,
+                trapped=pd.Series(ords > max_urls, index=batch.index).map(
+                    {True: "y", False: "n"}
+                ),
+            )
+            n += len(batch)
+            yield batch[out_cols]
+        state.update((n,))
+
+    return tagged.groupBy(host_col, "template").applyInPandasWithState(
+        flag,
+        outputStructType=out_schema,
+        stateStructType=_TRAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_fetch_metrics(
     prepared: DataFrame,
     window: str = "10 seconds",

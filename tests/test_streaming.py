@@ -194,3 +194,48 @@ def test_run_frontier_stream_end_to_end_and_restart(spark, tmp_path):
     assert (
         again.filter(F.col("canon_url").contains("id=9")).count() == 1
     )
+
+
+def test_streaming_trap_counter_across_batches(spark, tmp_path):
+    """Durable per-(host, template) counters: a template crossing its budget
+    MID-STREAM flags only the rows past the crossing, with ordinals
+    continuing across micro-batches."""
+    src = tmp_path / "trap_in"
+    _write_batch(
+        spark,
+        src,
+        _rows(
+            [
+                ("https://a.sk/cal?d=1", 10, 0, 0, 0),
+                ("https://a.sk/cal?d=2", 11, 0, 0, 0),
+                ("https://a.sk/cal?d=3", 12, 0, 0, 0),
+                ("https://a.sk/page?id=1", 13, 0, 0, 0),
+            ]
+        ),
+        0,
+    )
+    _write_batch(
+        spark,
+        src,
+        _rows(
+            [
+                ("https://a.sk/cal?d=4", 14, 0, 0, 1),
+                ("https://a.sk/cal?d=5", 15, 0, 0, 1),
+            ]
+        ),
+        1,
+    )
+    flagged = FS.flag_trap_templates_stream(
+        FS.prepare_stream(FS.candidate_stream(spark, str(src), max_files_per_trigger=1)),
+        max_urls=4,
+    )
+    got = _drain(flagged, output_mode="append")
+    cal = sorted(
+        (r for r in got if "cal" in r.canon_url), key=lambda r: r.seq
+    )
+    # ordinals continue 1..5 across the two batches; only #5 exceeds budget
+    assert [r.tpl_seen for r in cal] == [1, 2, 3, 4, 5]
+    assert [r.trapped for r in cal] == ["n", "n", "n", "n", "y"]
+    page = [r for r in got if "page" in r.canon_url]
+    assert len(page) == 1 and page[0].tpl_seen == 1 and page[0].trapped == "n"
+    assert all(r.template == "https://a.sk/cal?d=N" for r in cal)
