@@ -800,3 +800,52 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat, ["pred_lang", "bucket"], F.col("__ord"), k=10, num_salts=8
     )
     return out.select("doc_id", "pred_lang", "bucket", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Sitemap source (sources/sitemap.py): Spark must PARSE pretty-printed,
+# namespaced sitemap XML (JVM regexp_extract_all, one row per <url> block)
+# and reduce to latest-lastmod per canonical URL; the oracle derives the
+# same result relationally from the base table.  Second entry per sitemap is
+# messy (uppercase scheme+host, fragment, no lastmod) to exercise canon and
+# the -1 undated priority.
+# ---------------------------------------------------------------------------
+@query(
+    "sitemap_scan",
+    """
+    WITH det AS (
+        SELECT 'https://www.nrsr.sk/web/Default.aspx?ID=' || (o_orderkey % 300) AS canon_url,
+               'www.nrsr.sk' AS host,
+               MAX(CAST(o_orderdate AS DATE)) AS lastmod
+        FROM orders GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT DISTINCT 'https://www.nrsr.sk/web/Press.aspx?PressID=' || (o_orderkey % 100) AS canon_url,
+               'www.nrsr.sk' AS host, CAST(NULL AS DATE) AS lastmod
+        FROM orders
+    )
+    SELECT canon_url, host, lastmod,
+           CAST(coalesce(datediff('day', DATE '1970-01-01', lastmod), -1) AS INTEGER) AS priority
+    FROM (SELECT * FROM det UNION ALL SELECT * FROM prs)
+    """,
+)
+def sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.sources.sitemap import sitemap_candidates
+
+    orders = load(spark, sf_dir, "orders")
+    body = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'),
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'),
+        F.lit(" <url>\n  <loc>\n   https://www.nrsr.sk/web/Default.aspx?ID="),
+        F.col("o_orderkey") % 300,
+        F.lit("\n  </loc>\n  <lastmod>"),
+        F.col("o_orderdate").cast("string"),
+        F.lit("</lastmod>\n </url>\n <url><loc>HTTPS://WWW.NRSR.SK/web/Press.aspx?PressID="),
+        F.col("o_orderkey") % 100,
+        F.lit("#frag</loc></url>\n</urlset>\n"),
+    )
+    pages = orders.select(
+        F.concat(F.lit("https://www.nrsr.sk/sitemap_"), F.col("o_orderkey"), F.lit(".xml")).alias("url"),
+        body.cast("binary").alias("body"),
+    )
+    return sitemap_candidates(pages).select("canon_url", "host", "lastmod", "priority")

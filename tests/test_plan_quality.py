@@ -179,3 +179,35 @@ def test_slim_schedule_matches_full_and_ships_no_url_strings(spark):
     for seg in plan.split("Exchange ")[1:]:
         header = seg.splitlines()[0]
         assert "canon_url" not in header and "url#" not in header, header
+
+
+def test_trap_demotion_stays_broadcast_and_adds_no_exchange(spark):
+    """The engine's pop-time trap demotion must join the flagged template
+    set via BroadcastHashJoin and add ZERO shuffle exchanges beyond the two
+    the slim pop windows already pay — the guard is free at 100 TB."""
+    from nrsr_crawler_spark.operators import traps
+
+    pending = spark.range(0, 20000).select(
+        F.concat(F.lit("https://www.nrsr.sk/p.aspx?d="), F.col("id")).alias("canon_url"),
+        F.lit("www.nrsr.sk").alias("host"),
+        F.col("id").alias("seq"),
+        F.lit(0).alias("priority"),
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+    ).withColumn("tpl_hash", traps.tpl_hash(F.col("host"), F.col("canon_url")))
+    flagged = pending.groupBy("tpl_hash").count().filter(F.col("count") > 100).select(
+        "tpl_hash", F.lit(True).alias("__trapped")
+    )
+    demoted = (
+        pending.join(F.broadcast(flagged), "tpl_hash", "left")
+        .withColumn(
+            "priority",
+            F.when(F.col("__trapped"), F.col("priority") - 1000000).otherwise(F.col("priority")),
+        )
+        .drop("__trapped")
+    )
+    plain = politeness.pop_budget_slim(pending, budget=50, num_salts=4, tiebreak_cols=["url_hash"])
+    guarded = politeness.pop_budget_slim(demoted, budget=50, num_salts=4, tiebreak_cols=["url_hash"])
+    p_plain, p_guarded = _plan(plain), _plan(guarded)
+    assert "BroadcastHashJoin" in p_guarded
+    n_ex = lambda p: p.count("Exchange hashpartitioning") + p.count("Exchange rangepartitioning")  # noqa: E731
+    assert n_ex(p_guarded) == n_ex(p_plain), (n_ex(p_plain), n_ex(p_guarded))

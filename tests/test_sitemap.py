@@ -1,0 +1,69 @@
+"""Sitemap source (sources/sitemap.py): block parsing tolerates real-world
+XML noise; candidates keep the freshest lastmod per canonical URL."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nrsr_crawler_spark.sources.sitemap import (
+    freshness_priority,
+    parse_sitemap,
+    sitemap_candidates,
+)
+
+MESSY = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+        xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+  <url>
+    <loc>
+      https://www.nrsr.sk/web/Default.aspx?ID=1
+    </loc>
+    <lastmod>2024-05-01</lastmod>
+  </url>
+  <url><loc>HTTPS://WWW.NRSR.SK/web/Default.aspx?ID=1#top</loc><lastmod>2024-06-02</lastmod></url>
+  <url>
+    <loc>https://www.nrsr.sk/web/Press.aspx?PressID=9</loc>
+  </url>
+  <url><lastmod>2024-01-01</lastmod></url>
+  <url><loc>not a url at all</loc><lastmod>garbage-date</lastmod></url>
+</urlset>
+"""
+
+
+def _pages(spark):
+    return spark.createDataFrame(
+        [("https://www.nrsr.sk/sitemap.xml", MESSY)], "url string, body binary"
+    )
+
+
+def test_parse_sitemap_tolerates_noise(spark):
+    rows = parse_sitemap(_pages(spark)).orderBy("entry_idx").collect()
+    # the loc-less block is dropped; the garbage entry parses (loc kept,
+    # lastmod NULL) and dies later at canonicalization
+    assert [r.entry_idx for r in rows] == [0, 1, 2, 4]
+    assert rows[0].loc == "https://www.nrsr.sk/web/Default.aspx?ID=1"
+    assert str(rows[0].lastmod) == "2024-05-01"
+    assert rows[2].lastmod is None
+    assert rows[3].loc == "not a url at all" and rows[3].lastmod is None
+
+
+def test_sitemap_candidates_latest_lastmod_and_priorities(spark):
+    got = {r.canon_url: r for r in sitemap_candidates(_pages(spark)).collect()}
+    # messy duplicate (uppercase + fragment) collapsed; freshest lastmod kept
+    assert set(got) == {
+        "https://www.nrsr.sk/web/Default.aspx?ID=1",
+        "https://www.nrsr.sk/web/Press.aspx?PressID=9",
+    }
+    dup = got["https://www.nrsr.sk/web/Default.aspx?ID=1"]
+    assert str(dup.lastmod) == "2024-06-02"
+    undated = got["https://www.nrsr.sk/web/Press.aspx?PressID=9"]
+    assert undated.lastmod is None and undated.priority == -1
+    # dated beats undated under priority-DESC pop order
+    assert dup.priority > undated.priority
+
+
+def test_freshness_priority_is_days_since_epoch(spark):
+    row = spark.createDataFrame([("1970-01-11",)], "d string").select(
+        freshness_priority(F.to_date("d")).alias("p")
+    ).collect()[0]
+    assert row.p == 10
