@@ -80,3 +80,47 @@ def sitemap_candidates(pages: DataFrame, body_col: str = "body") -> DataFrame:
         )
         .withColumn("priority", freshness_priority(F.col("lastmod")))
     )
+
+
+# sitemap INDEX files list child sitemaps instead of pages:
+# <sitemapindex><sitemap><loc>…</loc></sitemap>…</sitemapindex>
+_INDEX_BLOCK = r"(?s)<sitemap\s*>(.*?)</sitemap>"
+
+
+def parse_sitemap_index(
+    pages: DataFrame, body_col: str = "body", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """One row per child sitemap listed in a sitemap-index document:
+    (``loc``, ``lastmod``, ``entry_idx``).  Feed the locs back through the
+    fetch stage and the resulting bodies through :func:`parse_sitemap` —
+    the standard protocol's one level of recursion (an index must not list
+    another index), so two fetch rounds enumerate any compliant tree."""
+    text = F.col(body_col).cast("string")
+    blocks = F.regexp_extract_all(text, F.lit(_INDEX_BLOCK), F.lit(1))
+    exploded = pages.select(
+        *[F.col(c) for c in keep_cols], F.posexplode(blocks).alias("entry_idx", "__block")
+    )
+    loc = F.regexp_extract(F.col("__block"), _LOC, 1)
+    lastmod = F.regexp_extract(F.col("__block"), _LASTMOD, 1)
+    return exploded.select(
+        *[F.col(c) for c in keep_cols],
+        "entry_idx",
+        F.nullif(loc, F.lit("")).alias("loc"),
+        F.try_to_timestamp(F.nullif(lastmod, F.lit(""))).cast("date").alias("lastmod"),
+    ).filter(F.col("loc").isNotNull())
+
+
+def sitemaps_from_robots(
+    robots_pages: DataFrame, body_col: str = "body", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Sitemap discovery from robots.txt ``Sitemap:`` lines (REP extension,
+    sitemaps.org §submission): one row per declared sitemap URL.  The line
+    is user-agent-independent per the spec, so no UA matching applies."""
+    text = F.col(body_col).cast("string")
+    locs = F.regexp_extract_all(
+        text, F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)\s*$"), F.lit(1)
+    )
+    return robots_pages.select(
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(locs).alias("entry_idx", "loc"),
+    )

@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 from nrsr_crawler_spark.sources.sitemap import (
     freshness_priority,
     parse_sitemap,
+    parse_sitemap_index,
     sitemap_candidates,
+    sitemaps_from_robots,
 )
 
 MESSY = b"""<?xml version="1.0" encoding="UTF-8"?>
@@ -67,3 +69,46 @@ def test_freshness_priority_is_days_since_epoch(spark):
         freshness_priority(F.to_date("d")).alias("p")
     ).collect()[0]
     assert row.p == 10
+
+
+INDEX = b"""<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap>
+    <loc>https://www.nrsr.sk/sitemap_members.xml</loc>
+    <lastmod>2024-02-01</lastmod>
+  </sitemap>
+  <sitemap><loc>https://www.nrsr.sk/sitemap_press.xml</loc></sitemap>
+</sitemapindex>
+"""
+
+ROBOTS = b"""User-agent: *
+Disallow: /private/
+Sitemap: https://www.nrsr.sk/sitemap_index.xml
+  sitemap:   https://www.nrsr.sk/sitemap_extra.xml
+Crawl-delay: 2
+"""
+
+
+def test_parse_sitemap_index(spark):
+    pages = spark.createDataFrame(
+        [("https://www.nrsr.sk/sitemap_index.xml", INDEX)], "url string, body binary"
+    )
+    rows = parse_sitemap_index(pages, keep_cols=("url",)).orderBy("entry_idx").collect()
+    assert [r.loc for r in rows] == [
+        "https://www.nrsr.sk/sitemap_members.xml",
+        "https://www.nrsr.sk/sitemap_press.xml",
+    ]
+    assert str(rows[0].lastmod) == "2024-02-01" and rows[1].lastmod is None
+    # an index's <sitemap> blocks must not leak into the page parser
+    assert parse_sitemap(pages).count() == 0
+
+
+def test_sitemaps_from_robots(spark):
+    pages = spark.createDataFrame(
+        [("https://www.nrsr.sk/robots.txt", ROBOTS)], "url string, body binary"
+    )
+    rows = sitemaps_from_robots(pages).orderBy("entry_idx").collect()
+    assert [r.loc for r in rows] == [
+        "https://www.nrsr.sk/sitemap_index.xml",
+        "https://www.nrsr.sk/sitemap_extra.xml",
+    ]
