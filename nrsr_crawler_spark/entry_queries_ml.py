@@ -849,3 +849,71 @@ def sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         body.cast("binary").alias("body"),
     )
     return sitemap_candidates(pages).select("canon_url", "host", "lastmod", "priority")
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal dedup grouping: components of (phash-near ∪ exact-caption)
+# edges — the same photo recaptioned and the same caption on recropped
+# variants land in ONE group.  Caption classes of 8 (custkeys 8h+1..8h+8)
+# bridge exactly two adjacent 4-member phash groups, so the fixture's true
+# 8-member components exist only in the UNION graph; the oracle re-derives
+# them with a recursive CTE.  Caption edges are stars (member → class min),
+# the only caption-clique shape that scales.
+# ---------------------------------------------------------------------------
+@query(
+    "images_crossmodal_groups",
+    f"""
+    WITH RECURSIVE ph AS (
+        SELECT image_id, phash,
+               'cap' || ((CAST(substr(image_id, 4) AS BIGINT) - 1) // 8) AS caption
+        FROM ({_PH_SQL})
+    ),
+    pp AS (
+        SELECT a.image_id AS id_a, b.image_id AS id_b
+        FROM ph a JOIN ph b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ),
+    caps AS (
+        SELECT caption, MIN(image_id) AS id_a, COUNT(*) AS n
+        FROM ph GROUP BY caption
+    ),
+    ce AS (
+        SELECT c.id_a, p.image_id AS id_b
+        FROM ph p JOIN caps c USING (caption)
+        WHERE c.n > 1 AND p.image_id <> c.id_a
+    ),
+    und AS (SELECT * FROM pp UNION ALL SELECT * FROM ce),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM und
+        UNION ALL SELECT id_b, id_a FROM und
+    ),
+    reach(id, r) AS (
+        SELECT image_id, image_id FROM ph
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id AS image_id, MIN(r) AS rep FROM reach GROUP BY id
+    """,
+)
+def images_crossmodal_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.image_dedup import (
+        crossmodal_groups,
+        phash_neardup_pairs,
+    )
+
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey").between(1, 2000))
+    base = F.floor((F.col("c_custkey") - 1) / 4).cast("long")
+    m1 = (base * 2654435761) % 2147483648
+    m2 = (base * 2246822519 + 2531011) % 2147483648
+    flip = F.expr(
+        "CASE WHEN c_custkey % 4 <> 0 "
+        "THEN shiftleft(CAST(1 AS BIGINT), CAST((c_custkey % 4) * 13 AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    images = cust.select(
+        F.format_string("img%010d", F.col("c_custkey")).alias("image_id"),
+        (m1 + m2 * 2147483648).bitwiseXOR(flip).alias("phash"),
+        F.concat(F.lit("cap"), F.floor((F.col("c_custkey") - 1) / 8).cast("long")).alias("caption"),
+    )
+    pairs = phash_neardup_pairs(images, max_hamming=3, n_bands=8)
+    return crossmodal_groups(images, pairs)

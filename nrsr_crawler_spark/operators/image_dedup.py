@@ -181,3 +181,43 @@ def neardup_manifest(
         )
         .filter(F.col("kept_id").isNotNull())
     )
+
+
+def caption_star_edges(
+    images: DataFrame, id_col: str = "image_id", caption_col: str = "caption"
+) -> DataFrame:
+    """Exact-caption duplicate edges in STAR form: every image links to the
+    min-id member of its caption class (id_a < id_b, class singletons emit
+    nothing).  Stars induce the same connected components as the full
+    per-class clique at O(n) edges instead of O(n²) — the only shape that
+    survives a popular caption (e.g. "stock photo" × 10^6) at corpus scale."""
+    reps = (
+        images.groupBy(caption_col)
+        .agg(F.min(id_col).alias("id_a"), F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select(caption_col, "id_a")
+    )
+    return (
+        images.join(reps, caption_col)
+        .filter(F.col(id_col) != F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+    )
+
+
+def crossmodal_groups(
+    images: DataFrame,
+    phash_pairs: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Cross-modal near-dup grouping: two records are duplicates if their
+    IMAGES are perceptually close (``phash_pairs``) OR their CAPTIONS are
+    exactly equal — the union graph's connected components.  Catches the two
+    multimodal-corpus failure modes a single-modality pass misses: the same
+    photo recaptioned, and the same boilerplate caption on recropped
+    variants.  Returns (id, rep) for every image."""
+    edges = phash_pairs.select("id_a", "id_b").unionByName(
+        caption_star_edges(images, id_col, caption_col)
+    )
+    return phash_connected_groups(edges, images, id_col=id_col, max_rounds=max_rounds)

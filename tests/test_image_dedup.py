@@ -130,3 +130,28 @@ def test_connected_groups_merge_chains_where_single_hop_undermerges(spark):
     single = {r["image_id"]: r["rep"] for r in ID.phash_neardup_groups(pairs, images).collect()}
     assert single != expected
     assert any(not rep.endswith("_0") for rep in single.values())
+
+
+def test_crossmodal_groups_merge_caption_and_phash_edges(spark):
+    from nrsr_crawler_spark.operators.image_dedup import (
+        caption_star_edges,
+        crossmodal_groups,
+    )
+
+    # a,b: phash-close, different captions; b,c: same caption, far phash;
+    # d: singleton on both modalities
+    images = spark.createDataFrame(
+        [
+            ("a", 0b1000, "x"),
+            ("b", 0b1001, "y"),
+            ("c", 0b1111111100000000, "y"),
+            ("d", -1, "z"),
+        ],
+        "image_id string, phash long, caption string",
+    )
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    stars = caption_star_edges(images).collect()
+    assert [(r.id_a, r.id_b) for r in stars] == [("b", "c")]
+    groups = {r.image_id: r.rep for r in crossmodal_groups(images, pairs).collect()}
+    # a-b (phash) and b-c (caption) chain into one component; d stays alone
+    assert groups == {"a": "a", "b": "a", "c": "a", "d": "d"}
