@@ -366,6 +366,56 @@ class CrawlEngine:
         n = delta.count()
         self.lake.commit(0, {"kind": "seed", "enqueued": n, "popped": 0, "items": 0, "edges": 0})
 
+    def enqueue_sitemaps(self, sitemap_pages: DataFrame) -> int:
+        """Seed/extend the frontier from sitemap documents (sources/sitemap):
+        parse → canonicalize → freshest-lastmod per URL → anti-join against
+        the existing frontier (a sitemap re-listing a known URL must not
+        duplicate its pending row) → append one frontier delta with
+        freshness priorities, so recently-modified content pops first.
+
+        Works on a fresh lake (commits epoch 0, replacing seed enqueue) or
+        mid-crawl (appends at the next epoch — the standard periodic sitemap
+        refresh).  ``seq`` is a packed (epoch, batch-rank) — the rank comes
+        from ONE global sort of the batch (priority DESC, url_hash), fine
+        for protocol-sized feeds (≤50k URLs/sitemap; chunk multi-10^7-URL
+        feeds across calls).  Returns the number of URLs enqueued."""
+        from pyspark.sql import Window
+
+        from nrsr_crawler_spark.sources.sitemap import sitemap_candidates
+
+        epoch = self.lake.last_committed() + 1
+        cand = sitemap_candidates(sitemap_pages)
+        if self.robots_rules:
+            cand = cand.filter(
+                robots.allowed_expr(self.robots_rules, F.col("canon_url"), F.col("host"))
+            )
+        if epoch > 0:
+            seen = self.lake.read_merged(self.spark, "frontier").select("url_hash")
+            cand = cand.join(seen, "url_hash", "left_anti")
+        rk = F.row_number().over(
+            Window.orderBy(F.col("priority").desc(), F.col("url_hash"))
+        )
+        raw = cand.select(
+            F.col("canon_url").alias("url"),  # already canonical
+            "canon_url",
+            "url_hash",
+            "host",
+            F.lit(0).alias("depth"),
+            "priority",
+            (
+                F.lit(epoch + 1).cast("long") * (1 << _SEQ_EPOCH_SHIFT)
+                + rk.cast("long")
+            ).alias("seq"),
+            F.lit(None).cast("long").alias("parent_hash"),
+        )
+        delta = self._finish_frontier_cols(raw)
+        self.lake.write_delta("frontier", delta, epoch)
+        n = delta.count()
+        self.lake.commit(
+            epoch, {"kind": "sitemap", "enqueued": n, "popped": 0, "items": 0, "edges": 0}
+        )
+        return n
+
     # -- bloom state ----------------------------------------------------------
     def _bloom_params(self, n_keys: int) -> tuple[int, int, int]:
         """(per-segment m_bits, k, capacity_keys) sized for ``n_keys`` keys

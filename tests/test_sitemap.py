@@ -112,3 +112,54 @@ def test_sitemaps_from_robots(spark):
         "https://www.nrsr.sk/sitemap_index.xml",
         "https://www.nrsr.sk/sitemap_extra.xml",
     ]
+
+
+def _sitemap_pages(spark):
+    body = (
+        '<?xml version="1.0"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        + "".join(
+            f" <url><loc>https://www.nrsr.sk/web/d.aspx?ID={i}</loc>"
+            f"<lastmod>2024-0{i}-01</lastmod></url>\n"
+            for i in (1, 2, 3)
+        )
+        + "".join(
+            f" <url><loc>https://www.nrsr.sk/web/u.aspx?ID={i}</loc></url>\n"
+            for i in (1, 2, 3)
+        )
+        + "</urlset>\n"
+    ).encode()
+    return spark.createDataFrame(
+        [("https://www.nrsr.sk/sitemap.xml", body)], "url string, body binary"
+    )
+
+
+def test_engine_enqueue_sitemaps_freshness_order_and_idempotence(spark, tmp_path):
+    from nrsr_crawler_spark.plans.epoch_loop import CrawlEngine
+    from nrsr_crawler_spark.sources.synthetic_site import PAGES_SCHEMA
+
+    leaf_rows = [
+        (f"https://www.nrsr.sk/web/{p}.aspx?ID={i}", "leaf", 7, b"<html>x</html>", None, None, None)
+        for p in ("d", "u")
+        for i in (1, 2, 3)
+    ]
+    eng = CrawlEngine(
+        spark,
+        spark.createDataFrame(leaf_rows, PAGES_SCHEMA),
+        str(tmp_path / "lake"),
+        budget_per_host=3,
+        num_salts=4,
+        n_segments=4,
+        typed_items=False,
+    )
+    assert eng.enqueue_sitemaps(_sitemap_pages(spark)) == 6
+    stats = eng.run()
+    assert stats.fetched == 6
+    log = eng.lake.read_all(spark, "fetch_log")
+    ep = {r.canon_url: r.epoch for r in log.select("canon_url", "epoch").collect()}
+    # dated entries (freshness priority > -1) fill the first pop exactly
+    assert {u: e for u, e in ep.items() if "/d.aspx" in u} == {
+        f"https://www.nrsr.sk/web/d.aspx?ID={i}": 1 for i in (1, 2, 3)
+    }
+    assert all(e == 2 for u, e in ep.items() if "/u.aspx" in u)
+    # re-feeding the same sitemap enqueues nothing (anti-join vs frontier)
+    assert eng.enqueue_sitemaps(_sitemap_pages(spark)) == 0
