@@ -326,6 +326,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_substring_dedup",
+    """
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    grams AS (
+        SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS gkey
+        FROM toks, UNNEST(CASE WHEN len(tk) >= 8 THEN range(1, len(tk) - 6) ELSE [] END) AS u(i)
+    ),
+    per_g AS (SELECT gkey, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY gkey),
+    per_doc AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_windows,
+               SUM(CASE WHEN p.n_docs >= 2 THEN 1 ELSE 0 END) AS dup_windows
+        FROM grams g JOIN per_g p USING (gkey) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_windows, 0) AS n_windows,
+           COALESCE(dup_windows, 0) AS dup_windows,
+           CASE WHEN COALESCE(n_windows, 0) = 0 THEN 0
+                ELSE (dup_windows * 10000) // n_windows END AS dup_bps
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated 8-token-span stats per document (exact substring dedup)."""
+    return T.duplicated_span_stats(load(spark, sf_dir, "documents"), "doc_id", "text", n=8)
+
+
+@query(
     "text_token_counts",
     """
     SELECT doc_id,

@@ -91,3 +91,58 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (portable rolling-hash stand-in with an exact oracle)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Exact duplicated-substring detection à la Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (arXiv:2107.06499): every
+    n-token window of every document is fingerprinted; a window whose exact
+    token sequence also occurs in another document is a duplicate span.
+    Emits per doc ``(n_windows, dup_windows, dup_bps)`` with ``dup_bps`` =
+    floor(dup·10⁴/total) — integer, so the DuckDB oracle is hash-exact.
+
+    Scale shape (100 TB): the window explode is linear in corpus tokens and
+    map-side; windows shuffle ONCE as fixed-width md5 keys (never the raw
+    n-gram strings), the per-key distinct-doc count is a partial-aggregated
+    groupBy on a well-mixed key (no skew), and the doc-level rollup is a
+    second linear pass keyed on ``id_col``.  Same shingle-join shape as
+    ``dedup.ngram_jaccard`` — no all-pairs product anywhere.  (At petabyte
+    scale you would fingerprint with xxhash64 instead of md5 and accept the
+    2⁻⁶⁴ collision rate; md5 is kept here because both engines implement it
+    identically, which keeps the oracle exact.)
+    """
+    tk = tokens(F.col(text_col))
+    # guard: F.sequence(1, size-n+1) DESCENDS when size < n — emit [] instead
+    grams_arr = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(F.col(id_col), F.explode(grams_arr).alias("gkey"))
+    per_gram = grams.groupBy("gkey").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    per_doc = (
+        grams.join(per_gram, "gkey")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("dup_windows"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("dup_windows * 10000 div n_windows"))
+            .alias("dup_bps"),
+        )
+    )

@@ -134,3 +134,28 @@ def test_non_fimg_decode_is_explicit_stub(spark):
         MM.decode_stats(
             spark.createDataFrame([("x", bytearray(b"\x89PNG\r\n..."))], "image_id string, bytes binary")
         ).collect()
+
+
+def test_duplicated_span_stats(spark):
+    base = " ".join(f"w{i}" for i in range(20))  # 20 tokens → 13 8-gram windows
+    rows = [
+        (1, base),                                   # duplicated wholesale by doc 2
+        (2, base),
+        (3, "alpha " + base),                        # shares base's windows, +1 unique-prefix window... prefix windows overlap base
+        (4, " ".join(f"u{i}" for i in range(20))),   # fully unique
+        (5, "too short to have any window"),         # 6 tokens < 8 → zero windows
+        (6, ""),                                     # empty text
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: (r.n_windows, r.dup_windows, r.dup_bps)
+        for r in T.duplicated_span_stats(df, "doc_id", "text", n=8).collect()
+    }
+    assert out[1] == (13, 13, 10000)
+    assert out[2] == (13, 13, 10000)
+    # doc 3: 14 windows; the 13 suffix windows equal base's, the 1 window
+    # starting at 'alpha' is unique → floor(13*10000/14) = 9285
+    assert out[3] == (14, 13, 9285)
+    assert out[4] == (13, 0, 0)
+    assert out[5] == (0, 0, 0)
+    assert out[6] == (0, 0, 0)
