@@ -304,3 +304,68 @@ def j4_cuckoo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = CK.delete_cuckoo(segs, expired, n_segments=8)
     seen = seen0.join(expired, "url_hash", "left_anti")
     return CK.dedup_with_cuckoo(cand, seen, segs, n_segments=8).select("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Link-graph PageRank (operators/linkrank.py): authority-ordered crawl
+# prioritization over a cyclic page graph derived from lineitem — order
+# pages link to part pages, part pages to supplier pages, supplier pages
+# back to their orders (suppliers with l_suppkey % 7 == 0 get no outlinks,
+# exercising the dangling-mass path).  K = 3 fixed iterations; the whole
+# recurrence is scaled-BIGINT floor division, so the oracle is hash-exact.
+
+_PR_ITER_TPL = """
+r{t1} AS (
+    SELECT n.node,
+           CAST((SELECT (3000000000000 // 20) // n FROM nn)
+                + (17 * (COALESCE(c.c, 0)
+                         + ((SELECT COALESCE(SUM(r.rank), 0) FROM r{t0} r
+                             LEFT JOIN outdeg o ON o.src = r.node
+                             WHERE o.src IS NULL) // (SELECT n FROM nn)))) // 20
+                AS BIGINT) AS rank
+    FROM nodes n
+    LEFT JOIN (SELECT e.dst, SUM(r.rank // o.out_deg) AS c
+               FROM edges e
+               JOIN r{t0} r ON r.node = e.src
+               JOIN outdeg o ON o.src = e.src
+               GROUP BY e.dst) c ON c.dst = n.node
+)"""
+
+
+def _pagerank_oracle(k: int = 3) -> str:
+    parts = ["""
+WITH edges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT 3 * l_orderkey AS src, 3 * l_partkey + 1 AS dst FROM lineitem
+        UNION ALL
+        SELECT 3 * l_partkey + 1, 3 * l_suppkey + 2 FROM lineitem
+        UNION ALL
+        SELECT 3 * l_suppkey + 2, 3 * l_orderkey FROM lineitem WHERE l_suppkey % 7 <> 0
+    )
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+outdeg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST((SELECT 1000000000000 // n FROM nn) AS BIGINT) AS rank FROM nodes)"""]
+    for t in range(k):
+        parts.append("," + _PR_ITER_TPL.format(t0=t, t1=t + 1))
+    parts.append(f"\nSELECT node, rank FROM r{k}")
+    return "".join(parts)
+
+
+@query("link_pagerank", _pagerank_oracle(3))
+def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators import linkrank as LR
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    o = F.col("l_orderkey") * 3
+    p = F.col("l_partkey") * 3 + 1
+    s = F.col("l_suppkey") * 3 + 2
+    edges = (
+        li.select(o.alias("src"), p.alias("dst"))
+        .unionAll(li.select(p.alias("src"), s.alias("dst")))
+        .unionAll(
+            li.filter(F.col("l_suppkey") % 7 != 0).select(s.alias("src"), o.alias("dst"))
+        )
+    )
+    return LR.pagerank_fixed(edges, iterations=3).select("node", "rank")

@@ -1,0 +1,94 @@
+"""Fixed-iteration PageRank over the crawl link graph, in exact integer
+arithmetic.
+
+Why the crawler needs it: the frontier's ``priority`` column is an open
+input (epoch_loop enqueues children at priority 0); a periodic link-graph
+rank pass is the standard way a large crawl decides WHICH of 10^10 pending
+URLs deserve fetch budget first (authority-ordered crawling).  The engine's
+``edges`` lake table (parent_hash → url_hash per epoch) is exactly this
+graph.
+
+Why integer arithmetic: floating-point PageRank is not reproducible across
+engines (summation order), so it could never be hash-gated against a DuckDB
+oracle.  Instead the whole recurrence is defined over scaled BIGINTs with
+floor division — bit-identical in any engine:
+
+    S      = 10^12                      (total rank mass)
+    N      = |nodes|,  out(u) = out-degree over DISTINCT edges
+    r0(v)  = S div N
+    c(v)   = Σ_{(u,v)∈E} r_t(u) div out(u)
+    D      = Σ_{out(u)=0} r_t(u)        (dangling mass)
+    r_{t+1}(v) = ((3·S) div 20) div N  +  (17 · (c(v) + D div N)) div 20
+
+i.e. damping d = 17/20 = 0.85 exactly; every op is non-negative BIGINT
+floor division, so Spark's ``div`` and DuckDB's ``//`` agree bit-for-bit.
+Truncation leaks ≤1 unit of mass per node per term — deterministic and
+irrelevant for ranking (relative error ≤ N/S = 10^-7 at 10^5 nodes).
+
+Scale shape (100 TB / 10^10 edges): edges are deduped and persisted ONCE,
+hash-partitioned on ``src`` so every iteration's rank-share join is
+co-partitioned (one shuffle of the O(N) rank table per iteration, never the
+O(E) edge table); contributions partial-aggregate map-side into the
+``dst`` groupBy; the dangling mass is a 1-row aggregate broadcast back.
+K is fixed and small (the crawl reprioritizes every few epochs — it does
+not need convergence), so lineage stays bounded; each iteration's rank
+table is persisted and the previous one unpersisted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+SCALE = 10**12
+DAMP_NUM, DAMP_DEN = 17, 20
+
+
+def pagerank_fixed(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """K-iteration integer PageRank.  ``edges``: (src:long, dst:long),
+    multi-edges allowed (deduped here).  Returns (node:long, rank:long)
+    with rank in units of SCALE/N total mass."""
+    e = edges.select("src", "dst").distinct().repartition("src").persist()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # bounded driver scalar (one long), not a row collect
+    base = ((3 * SCALE) // DAMP_DEN) // n
+
+    r = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank")).persist()
+    for _ in range(iterations):
+        ranked = r.join(out_deg, r["node"] == out_deg["src"], "left")
+        shares = ranked.filter(F.col("out_deg").isNotNull()).select(
+            F.col("src"), F.expr("rank div out_deg").alias("share")
+        )
+        contrib = (
+            e.join(shares, "src")
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        dangling = ranked.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("d")
+        )
+        nxt = (
+            nodes.crossJoin(broadcast(dangling))
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({DAMP_NUM} * (coalesce(c, 0L) + (d div {n}))) div {DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .persist()
+        )
+        nxt.count()  # materialize before dropping the parent iteration
+        r.unpersist()
+        r = nxt
+    return r

@@ -1,0 +1,48 @@
+"""Integer PageRank (operators/linkrank.py): exactness vs an independent
+pure-Python implementation of the same floor-division recurrence, dangling
+mass handling, and determinism."""
+
+from __future__ import annotations
+
+from nrsr_crawler_spark.operators.linkrank import DAMP_DEN, DAMP_NUM, SCALE, pagerank_fixed
+
+
+def _py_pagerank(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    out: dict[int, int] = {}
+    for u, _ in e:
+        out[u] = out.get(u, 0) + 1
+    n = len(nodes)
+    base = ((3 * SCALE) // DAMP_DEN) // n
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(k):
+        c = {v: 0 for v in nodes}
+        for u, v in e:
+            c[v] += r[u] // out[u]
+        dangling = sum(r[u] for u in nodes if u not in out)
+        r = {v: base + (DAMP_NUM * (c[v] + dangling // n)) // DAMP_DEN for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_reference_with_dangling(spark):
+    # 1→2→3→1 cycle, 3→4, 4 dangling, 5→1 feeder, duplicate edge 1→2 again
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank_fixed(df, iterations=3).collect()}
+    assert got == _py_pagerank(edges, 3)
+    # node 4 is dangling but still holds rank; node 5 (no in-edges) floors
+    assert got[4] > 0
+    assert got[5] == min(got.values())
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    # floor-division truncation may only LEAK mass, never create it, and the
+    # leak is bounded by a few units per node per iteration
+    edges = [(i, (i * 7 + 3) % 50) for i in range(50)] + [(i, (i + 1) % 50) for i in range(50)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = pagerank_fixed(df, iterations=3).collect()
+    mass = sum(r.rank for r in out)
+    n = len(out)
+    assert mass <= SCALE
+    assert mass >= SCALE - 10 * n * 3  # ≤ ~10 units lost per node-iteration
