@@ -369,3 +369,52 @@ def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return LR.pagerank_fixed(edges, iterations=3).select("node", "rank")
+
+
+# ---------------------------------------------------------------------------
+# O4: robots Crawl-delay → per-host pop budgets.  Host h declaring delay δ
+# absorbs ⌊epoch_seconds/δ⌋ fetches per epoch (reference equivalent:
+# DOWNLOAD_DELAY=2.5 + CONCURRENT_REQUESTS_PER_IP=1, settings.py:30-33);
+# the pop keeps the two-level skew-proof decomposition with the budget as a
+# host-constant column.  epoch_seconds=10, default budget 5 → h0 (δ=5.0)
+# gets 2, h1 (δ=2.5) gets 4, other hosts 5.
+@query(
+    "o4_crawl_delay_budget",
+    """
+    WITH f AS (
+        SELECT 'h' || CAST(o_custkey % 4 AS VARCHAR) || '.nrsr.sk' AS host,
+               o_orderkey % 3 AS priority,
+               o_orderkey AS seq
+        FROM orders
+    ),
+    r AS (
+        SELECT host, seq,
+               row_number() OVER (PARTITION BY host ORDER BY priority DESC, seq DESC) AS rk
+        FROM f
+    )
+    SELECT host, seq, rk FROM r
+    WHERE rk <= CASE host WHEN 'h0.nrsr.sk' THEN 2
+                          WHEN 'h1.nrsr.sk' THEN 4
+                          ELSE 5 END
+    """,
+)
+def o4_crawl_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators import politeness
+
+    rules = [
+        {"host": "h0.nrsr.sk", "user_agent": "*", "rule": "allow", "path_prefix": "/", "crawl_delay": 5.0},
+        {"host": "h1.nrsr.sk", "user_agent": "*", "rule": "allow", "path_prefix": "/", "crawl_delay": 2.5},
+        {"host": "h1.nrsr.sk", "user_agent": "otherbot", "rule": "allow", "path_prefix": "/", "crawl_delay": 60.0},
+    ]
+    budgets = robots.crawl_delay_budgets(rules, epoch_seconds=10.0, default_budget=5)
+    frontier = load(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), F.col("o_custkey") % 4, F.lit(".nrsr.sk")).alias("host"),
+        (F.col("o_orderkey") % 3).alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return politeness.pop_budget(
+        frontier,
+        budget=robots.budget_expr(budgets, 5, F.col("host")),
+        salt_col="seq",
+        num_salts=8,
+    ).select("host", "seq", "rk")

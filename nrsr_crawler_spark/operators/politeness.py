@@ -33,7 +33,7 @@ def pop_order() -> list[Column]:
 
 def pop_budget(
     frontier: DataFrame,
-    budget: int,
+    budget: int | Column,
     host_col: str = "host",
     salt_col: str = "url_hash",
     num_salts: int = 16,
@@ -49,6 +49,11 @@ def pop_budget(
     nondeterministic; pass e.g. ``[F.col("canon_url")]`` when ``seq`` alone
     may tie.
 
+    ``budget`` may be a Column for PER-HOST budgets (robots Crawl-delay:
+    budget_h = ⌊epoch_seconds/delay_h⌋ — see ``robots.crawl_delay_budgets``).
+    It must be a pure function of ``host_col`` (constant within a host), or
+    the two-level decomposition is no longer exact.
+
     Sizing ``num_salts``: for a frontier dominated by FEW hosts, level-1
     parallelism is ``distinct_hosts × num_salts`` — size it to ≥2× the
     cluster's core count or the window sort becomes the pipeline's serial
@@ -57,22 +62,23 @@ def pop_budget(
     this is purely a physical knob.
     """
     order = pop_order() + list(tiebreak or [])
+    budget_col = F.lit(budget) if isinstance(budget, int) else budget
     salted = frontier.withColumn("__salt", F.pmod(F.col(salt_col), F.lit(num_salts)))
     w1 = Window.partitionBy(host_col, "__salt").orderBy(*order)
     survivors = (
         salted.withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= budget)
+        .filter(F.col("__r1") <= budget_col)
         .drop("__r1", "__salt")
     )
     w2 = Window.partitionBy(host_col).orderBy(*order)
     return survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
-        F.col(rank_col) <= budget
+        F.col(rank_col) <= budget_col
     )
 
 
 def pop_budget_slim(
     frontier: DataFrame,
-    budget: int,
+    budget: int | Column,
     host_col: str = "host",
     salt_col: str = "url_hash",
     num_salts: int = 16,

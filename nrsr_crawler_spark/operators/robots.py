@@ -91,3 +91,41 @@ def allowed_join(
     return (
         candidates.join(verdict.filter(F.col("__allowed")).select("url_hash"), "url_hash", "left_semi")
     )
+
+
+def crawl_delay_budgets(
+    rules: list[dict],
+    epoch_seconds: float,
+    default_budget: int,
+    user_agent: str = "*",
+) -> dict[str, int]:
+    """Per-host pop budgets from robots ``Crawl-delay`` (REP extension; the
+    reference hard-codes the equivalent ``DOWNLOAD_DELAY = 2.5`` +
+    ``CONCURRENT_REQUESTS_PER_IP = 1`` — /root/reference/nrsr/settings.py:30-33).
+
+    A host whose matching-UA group declares delay δ can absorb at most
+    ⌊epoch_seconds/δ⌋ serialized fetches per epoch; the budget is that,
+    capped by ``default_budget`` and floored at 1 (a sub-1 rate still gets
+    one slot per epoch so the crawl provably drains — the pacing below one
+    fetch/epoch belongs to the streaming pacer, not the batch pop).
+    Conservative on conflict: the LARGEST declared delay for the host wins.
+    """
+    delays: dict[str, float] = {}
+    for r in rules:
+        d = r.get("crawl_delay")
+        if d and _match_ua(r["user_agent"], user_agent):
+            delays[r["host"]] = max(delays.get(r["host"], 0.0), float(d))
+    return {
+        h: max(1, min(default_budget, int(epoch_seconds // d))) for h, d in delays.items()
+    }
+
+
+def budget_expr(host_budgets: dict[str, int], default_budget: int, host_col: Column) -> Column:
+    """Per-host budget as ONE driver-compiled when-chain Column (same shape
+    as :func:`allowed_expr` — zero shuffle, zero join; right whenever the
+    ruleset fits on the driver).  Constant within a host, as
+    ``politeness.pop_budget`` requires."""
+    expr: Column = F.lit(default_budget)
+    for h, b in sorted(host_budgets.items()):
+        expr = F.when(host_col == h, F.lit(b)).otherwise(expr)
+    return expr

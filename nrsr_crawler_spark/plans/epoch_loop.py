@@ -122,6 +122,7 @@ class CrawlEngine:
         compact_every: int = 64,
         trap_max_urls: int | None = None,
         trap_penalty: int = 1_000_000,
+        epoch_seconds: float | None = None,
     ):
         self.spark = spark
         self.lake = EpochLake(lake_root)
@@ -151,6 +152,19 @@ class CrawlEngine:
         # stored 8-byte tpl_hash — no strings at schedule time.
         self.trap_max_urls = trap_max_urls
         self.trap_penalty = trap_penalty
+        # robots Crawl-delay → per-host pop budgets (operators/robots.py):
+        # with an epoch wall-clock window of epoch_seconds, a host declaring
+        # delay δ absorbs ⌊epoch_seconds/δ⌋ serialized fetches per epoch.
+        # Compiled once into a when-chain budget column; None ⇒ flat budget.
+        self._budget_expr = None
+        if epoch_seconds is not None and self.robots_rules:
+            per_host = robots.crawl_delay_budgets(
+                self.robots_rules, epoch_seconds, budget_per_host
+            )
+            if per_host:
+                self._budget_expr = robots.budget_expr(
+                    per_host, budget_per_host, F.col("host")
+                )
         if seq_parent_bits + seq_child_bits > _SEQ_EPOCH_SHIFT:
             raise ValueError(
                 f"seq_parent_bits + seq_child_bits must fit below the epoch "
@@ -690,7 +704,9 @@ class CrawlEngine:
                     .drop("__trapped")
                 )
             popped = politeness.pop_budget_slim(
-                to_pop, budget=self.budget, num_salts=self.num_salts,
+                to_pop,
+                budget=self._budget_expr if self._budget_expr is not None else self.budget,
+                num_salts=self.num_salts,
                 tiebreak_cols=["url_hash"],
             ).persist()
             n_popped = popped.count()

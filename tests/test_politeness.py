@@ -104,3 +104,43 @@ def test_pop_budget_slim_matches_full(spark):
     for sec in re.findall(r"Sort \[[^\]]*\]", plan):
         if "priority" in sec:  # the pop-order sorts
             assert "payload" not in sec and "canon_url" not in sec
+
+
+def test_pop_budget_per_host_column_matches_naive(spark):
+    """Per-host budget column (robots Crawl-delay) must equal the naive
+    per-host window with the same CASE budget."""
+    from nrsr_crawler_spark.operators import robots
+
+    fr = _frontier(spark)
+    budgets = {"www.nrsr.sk": 3, "h1": 7}
+    bcol = robots.budget_expr(budgets, 5, F.col("host"))
+    got = pop_budget(fr, budget=bcol).select("host", "seq", "rk")
+    w = Window.partitionBy("host").orderBy(*pop_order())
+    naive = (
+        fr.withColumn("rk", F.row_number().over(w))
+        .filter(
+            F.col("rk")
+            <= F.when(F.col("host") == "www.nrsr.sk", 3)
+            .when(F.col("host") == "h1", 7)
+            .otherwise(5)
+        )
+        .select("host", "seq", "rk")
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_crawl_delay_budgets_semantics():
+    from nrsr_crawler_spark.operators.robots import crawl_delay_budgets
+
+    rules = [
+        {"host": "a", "user_agent": "*", "rule": "allow", "path_prefix": "/", "crawl_delay": 2.5},
+        {"host": "a", "user_agent": "*", "rule": "deny", "path_prefix": "/x", "crawl_delay": 5.0},
+        {"host": "b", "user_agent": "otherbot", "rule": "allow", "path_prefix": "/", "crawl_delay": 1.0},
+        {"host": "c", "user_agent": "*", "rule": "allow", "path_prefix": "/", "crawl_delay": 100.0},
+        {"host": "d", "user_agent": "*", "rule": "allow", "path_prefix": "/", "crawl_delay": None},
+    ]
+    out = crawl_delay_budgets(rules, epoch_seconds=10.0, default_budget=8)
+    # a: conservative max(2.5, 5.0) → ⌊10/5⌋ = 2; b: UA mismatch → absent;
+    # c: ⌊10/100⌋ = 0 floored to 1; d: no delay → absent (default applies)
+    assert out == {"a": 2, "c": 1}
