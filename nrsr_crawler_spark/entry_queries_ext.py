@@ -418,3 +418,46 @@ def o4_crawl_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_col="seq",
         num_salts=8,
     ).select("host", "seq", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Change-rate recrawl priority (operators/recrawl.py): revisit stats +
+# integer freshness priority over a revisit log — here the events table as
+# a synthetic fetch history (url = user page, epoch = event_id, content
+# hash = event_type).  All integer arithmetic; single window + groupBy.
+@query(
+    "recrawl_priority",
+    """
+    WITH seq AS (
+        SELECT user_id AS url_hash, event_id AS epoch,
+               CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) IS NOT NULL
+                     AND event_type <> lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                    THEN 1 ELSE 0 END AS changed
+        FROM events
+    ),
+    stats AS (
+        SELECT url_hash, COUNT(*) AS n_visits, SUM(changed) AS n_changes,
+               MAX(epoch) AS last_epoch
+        FROM seq GROUP BY url_hash
+    )
+    SELECT url_hash,
+           n_visits,
+           CAST(n_changes AS BIGINT) AS n_changes,
+           CAST(CASE WHEN n_visits <= 1 THEN 10000
+                     ELSE (n_changes * 10000) // (n_visits - 1) END AS BIGINT) AS change_bps,
+           CAST((SELECT MAX(event_id) FROM events) - last_epoch AS BIGINT) AS age,
+           CAST((CASE WHEN n_visits <= 1 THEN 10000
+                      ELSE (n_changes * 10000) // (n_visits - 1) END)
+                * ((SELECT MAX(event_id) FROM events) - last_epoch) AS BIGINT) AS recrawl_priority
+    FROM stats
+    """,
+)
+def recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators import recrawl as R
+
+    visits = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url_hash"),
+        F.col("event_id").alias("epoch"),
+        F.col("event_type").alias("content_hash"),
+    )
+    return R.change_rate_priority(visits)

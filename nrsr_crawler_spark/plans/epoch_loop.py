@@ -311,6 +311,23 @@ class CrawlEngine:
         )
         return self.expire(old, mode=mode)
 
+    def recrawl_candidates(self) -> DataFrame:
+        """Freshness-ranked revisit candidates (operators/recrawl.py): the
+        revisit log is the FULL fetch history × the page table's content
+        hash (md5 of the body as fetched — the deterministic page table
+        stands in for stored snapshots), so URLs whose content changed
+        between past fetches rank above never-changing ones, with an
+        explore bonus for single-visit URLs.  Feed the top-k into
+        :meth:`expire` (mode='refetch').  Reads all fetch_log deltas — an
+        occasional admin op like :meth:`expire_older_than`(0), O(history)."""
+        from nrsr_crawler_spark.operators import recrawl as recrawl_ops
+
+        log = self.lake.read_all(self.spark, "fetch_log").select("url_hash", "epoch")
+        body = self.pages.select(
+            F.col("page_hash").alias("url_hash"), F.md5(F.col("body")).alias("content_hash")
+        )
+        return recrawl_ops.change_rate_priority(log.join(body, "url_hash"))
+
     def compact(self) -> None:
         """Rewrite the merge-on-read acceleration bases (VERDICT r2 #2/#4):
         the latest-per-key projection of every keyed store as of the last
