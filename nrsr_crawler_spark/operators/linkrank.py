@@ -86,9 +86,13 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3) -> DataFrame:
                     )
                 ).cast("long").alias("rank"),
             )
-            .persist()
         )
-        nxt.count()  # materialize before dropping the parent iteration
+        # eager localCheckpoint: materializes AND truncates lineage — without
+        # it the plan tree (and any cache-miss recompute) grows exponentially
+        # in K, since each iteration references nodes/edges/r_t several times
+        nxt = nxt.localCheckpoint(eager=True)
         r.unpersist()
         r = nxt
+    for cached in (e, out_deg, nodes):
+        cached.unpersist()
     return r
