@@ -945,3 +945,67 @@ def images_crossmodal_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = phash_neardup_pairs(images, max_hamming=3, n_bands=8)
     return crossmodal_groups(images, pairs)
+
+
+def _lsh_pairs_oracle_sql(
+    dim: int = 64,
+    bits: int = 6,
+    tables: int = 8,
+    seed: int = 42,
+    threshold: float = 0.45,
+    max_bucket: int = 60,
+) -> str:
+    """DuckDB mirror of ``SIM.lsh_near_dup_pairs`` (plane literals emitted
+    into the SQL, same construction as ``_lsh_oracle_sql``): bucket →
+    hot-bucket cap → in-bucket pairs → exact rounded cosine ≥ threshold."""
+    parts = []
+    for t in range(tables):
+        planes = SIM.integer_planes(dim, bits, t, seed)
+        bucket = " + ".join(
+            "(CASE WHEN list_dot_product(v, [{vals}]) >= 0 THEN {w} ELSE 0 END)".format(
+                vals=", ".join(f"{float(x)}" for x in p), w=1 << j
+            )
+            for j, p in enumerate(planes)
+        )
+        parts.append(f"SELECT vec_id, {t} AS tbl, {bucket} AS bucket FROM qv")
+    buckets = "\n    UNION ALL\n    ".join(parts)
+    return f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v,
+               embedding::DOUBLE[] AS e
+        FROM embeddings
+    ),
+    buckets AS ({buckets}),
+    bcount AS (SELECT tbl, bucket, COUNT(*) AS n FROM buckets GROUP BY tbl, bucket),
+    fbuckets AS (SELECT b.* FROM buckets b JOIN bcount c USING (tbl, bucket)
+                 WHERE c.n <= {max_bucket}),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM fbuckets a JOIN fbuckets b USING (tbl, bucket)
+        WHERE a.vec_id < b.vec_id
+    ),
+    sims AS (
+        SELECT id_a, id_b,
+               ROUND(list_dot_product(a.e, b.e)
+                     / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))), 6) AS cos_sim
+        FROM cands JOIN qv a ON a.vec_id = id_a JOIN qv b ON b.vec_id = id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= {threshold}
+    """
+
+
+@query("dedup_embedding_lsh", _lsh_pairs_oracle_sql())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: LSH-bucketed in-bucket pairs +
+    exact cosine verify (upgrades dedup_embedding_cosine's labeled
+    tiny-side crossJoin baseline); subset-of-bruteforce and hot-bucket-cap
+    semantics asserted in tests/test_similarity_text.py."""
+    return SIM.lsh_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"),
+        dim=64,
+        threshold=0.45,
+        bits=6,
+        tables=8,
+        max_bucket=60,
+    ).select("id_a", "id_b", "cos_sim")

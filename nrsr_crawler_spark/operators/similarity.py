@@ -229,3 +229,75 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    max_bucket: int | None = None,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed — the SCALE path that
+    ``dedup.embedding_near_dups`` (labeled tiny-side crossJoin baseline)
+    defers to: candidates are pairs agreeing on all ``bits`` hyperplane sign
+    bits in ≥1 of ``tables`` tables, verified with the exact cosine on the
+    original vectors.  Bucketing uses :func:`integer_planes` over the
+    quantized vector, so the candidate set (hence the result) is bit-exact
+    in any engine — full DuckDB oracle.
+
+    Scale shape (10^9 vectors): corpus explodes ×``tables`` into buckets
+    (map-side), the self-join runs WITHIN (table, bucket) — expected bucket
+    population n/2^bits, so the join is Σ b_i², not n²; ``max_bucket`` drops
+    overfull buckets before the join (same hot-bucket frequency cap as
+    minhash's max_df / phash's band cap — a semantically-degenerate bucket,
+    e.g. the all-zeros region, cannot go quadratic).  Recall: a pair at
+    cosine ≥ 0.95 disagrees on any one plane with prob θ/π ≈ 0.10, so one
+    8-bit table retains ~0.43 of true pairs and 4 tables ~0.90; raise
+    ``tables`` for higher recall at linear cost.
+    """
+    b = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v")).withColumn(
+        "__q", quantize_vec(F.col("__v"))
+    )
+    buckets_arr = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                plane_bucket(F.col("__q"), integer_planes(dim, bits, t, seed)).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    bucketed = b.select(F.col(id_col), "__v", F.explode(buckets_arr).alias("tb")).select(
+        F.col(id_col), "__v", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
+    if max_bucket is not None:
+        ok = (
+            bucketed.groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("table", "bucket")
+        )
+        bucketed = bucketed.join(ok, ["table", "bucket"], "left_semi")
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "table", "bucket"
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "table", "bucket"
+    )
+    cands = (
+        a.join(c, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sims = cands.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_sim(F.col("va"), F.col("vb")), sim_decimals).alias("cos_sim"),
+    )
+    return sims.filter(F.col("cos_sim") >= threshold)

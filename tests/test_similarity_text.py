@@ -159,3 +159,43 @@ def test_duplicated_span_stats(spark):
     assert out[4] == (13, 0, 0)
     assert out[5] == (0, 0, 0)
     assert out[6] == (0, 0, 0)
+
+
+def test_lsh_near_dup_pairs_subset_and_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # plant 5 near-dups: tiny perturbations of vectors 0..4 → cosine ≈ 1
+    for j in range(5):
+        rows.append((100 + j, [float(x) for x in base[j] + rng.standard_normal(16) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from nrsr_crawler_spark.operators.dedup import embedding_near_dups
+
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(emb, "vec_id", "embedding", threshold=0.95).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in SIM.lsh_near_dup_pairs(
+            emb, dim=16, threshold=0.95, bits=8, tables=8
+        ).collect()
+    }
+    assert lsh <= brute  # never invents a pair
+    assert {(j, 100 + j) for j in range(5)} <= brute
+    # near-parallel planted pairs survive bucketing with 8 tables
+    assert len(lsh & {(j, 100 + j) for j in range(5)}) >= 4
+
+
+def test_lsh_near_dup_hot_bucket_cap(spark):
+    # 30 identical vectors → every table's bucket holds all 30; a cap of 10
+    # drops the bucket entirely, so NO pairs — the cap is a frequency guard
+    rows = [(i, [1.0] * 8) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = SIM.lsh_near_dup_pairs(emb, dim=8, threshold=0.9, bits=4, tables=2, max_bucket=10)
+    assert capped.count() == 0
+    uncapped = SIM.lsh_near_dup_pairs(emb, dim=8, threshold=0.9, bits=4, tables=2)
+    assert uncapped.count() == 30 * 29 // 2
