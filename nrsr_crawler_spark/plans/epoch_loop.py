@@ -152,6 +152,7 @@ class CrawlEngine:
         # stored 8-byte tpl_hash — no strings at schedule time.
         self.trap_max_urls = trap_max_urls
         self.trap_penalty = trap_penalty
+        self._priority_boosts: DataFrame | None = None
         # robots Crawl-delay → per-host pop budgets (operators/robots.py):
         # with an epoch wall-clock window of epoch_seconds, a host declaring
         # delay δ absorbs ⌊epoch_seconds/δ⌋ serialized fetches per epoch.
@@ -310,6 +311,41 @@ class CrawlEngine:
             .select("url_hash")
         )
         return self.expire(old, mode=mode)
+
+    def set_priority_boosts(self, boosts: DataFrame | None) -> None:
+        """Install additive per-URL pop-priority boosts: (url_hash:long,
+        boost:long).  Applied to the pending set before every pop (and
+        before trap demotion, so the trap penalty still dominates).  Pass
+        None to clear.  The table is materialized once (localCheckpoint) —
+        it's consulted every epoch."""
+        self._priority_boosts = (
+            None
+            if boosts is None
+            else boosts.select("url_hash", F.col("boost").cast("long").alias("boost"))
+            .localCheckpoint()
+        )
+
+    def pagerank_boosts(self, iterations: int = 3, scale: int = 100) -> DataFrame:
+        """Authority boosts from the crawl's own link graph: integer
+        PageRank (operators/linkrank.py) over the edges table
+        (parent_hash → url_hash), normalized so a node of average rank gets
+        ``scale`` boost units (boost = rank·N·scale div S — exact integer).
+        Feed into :meth:`set_priority_boosts` and keep crawling: the next
+        pops prefer high-authority pages.  Reads all edge deltas — an
+        occasional admin op, like :meth:`recrawl_candidates`."""
+        from nrsr_crawler_spark.operators import linkrank
+
+        edges = self.lake.read_all(self.spark, "edges").select(
+            F.col("parent_hash").alias("src"), F.col("url_hash").alias("dst")
+        )
+        ranks = linkrank.pagerank_fixed(edges, iterations=iterations)
+        n = ranks.count()
+        # boost ≈ rank·n·scale/S, computed as (rank·scale) div (S div n) so
+        # the intermediate never exceeds S·scale — safe in int64 at any n
+        return ranks.select(
+            F.col("node").alias("url_hash"),
+            F.expr(f"(rank * {scale}) div {max(1, linkrank.SCALE // n)}").alias("boost"),
+        )
 
     def recrawl_candidates(self) -> DataFrame:
         """Freshness-ranked revisit candidates (operators/recrawl.py): the
@@ -702,6 +738,20 @@ class CrawlEngine:
             # ``seq`` is unique by construction (packed lineage) and the
             # fingerprint tiebreak covers any future non-unique seq source.
             to_pop = pending
+            if self._priority_boosts is not None:
+                # rank-informed crawl ordering (operators/linkrank.py):
+                # additive per-URL boost joined on the 8-byte fingerprint —
+                # hash-key equi-join co-partitioned with the pending set
+                # (boosts are O(known URLs), so NOT broadcast); column
+                # pruning keeps the join payload at (url_hash, boost)
+                to_pop = (
+                    to_pop.join(self._priority_boosts, "url_hash", "left")
+                    .withColumn(
+                        "priority",
+                        F.col("priority") + F.coalesce(F.col("boost"), F.lit(0)),
+                    )
+                    .drop("boost")
+                )
             if tpl_counts is not None:
                 # demote exploding URL shapes BEFORE the pop windows: the
                 # flagged set is a handful of (tpl_hash) longs (shapes, not
@@ -711,7 +761,7 @@ class CrawlEngine:
                     F.col("n") > self.trap_max_urls
                 ).select("tpl_hash", F.lit(True).alias("__trapped"))
                 to_pop = (
-                    pending.join(F.broadcast(flagged), "tpl_hash", "left")
+                    to_pop.join(F.broadcast(flagged), "tpl_hash", "left")
                     .withColumn(
                         "priority",
                         F.when(
