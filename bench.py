@@ -39,6 +39,8 @@ HEADLINE = [
     "text_quality",
     "items_voting_votes",  # typed HTML parse → fold → nested votes pipeline
     "images_phash_neardup",  # image near-dup: banded Hamming join on phash
+    "text_substring_dedup",  # exact dup-span detection, linear shingle join
+    "link_pagerank",  # iterative integer PageRank, 3 shuffled iterations
 ]
 
 

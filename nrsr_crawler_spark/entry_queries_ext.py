@@ -461,3 +461,57 @@ def recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("content_hash"),
     )
     return R.change_rate_priority(visits)
+
+
+# ---------------------------------------------------------------------------
+# F15: tracking-param stripping on canonical URLs (functions/urls.py
+# strip_tracking) — utm_*/click-id/session params are per-visitor noise, so
+# two tracking aliases of one page must collapse to one frontier row.  URL a
+# and URL b differ ONLY in tracking params; after canon+strip they are equal
+# and hash-equal.  Rows where o_orderkey % 5 = 0 carry ONLY tracking params
+# (the '?' must drop entirely).
+@query(
+    "f10_strip_tracking",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0
+                THEN 'https://www.nrsr.sk/Web/Default.aspx'
+                ELSE 'https://www.nrsr.sk/Web/Default.aspx?ID=' || o_orderkey || '&sid=zakony'
+           END AS stripped_a,
+           TRUE AS collapsed
+    FROM orders
+    """,
+)
+def f10_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.functions import urls as U
+
+    orders = load(spark, sf_dir, "orders")
+    content = F.when(
+        F.col("o_orderkey") % 5 == 0, F.lit("")
+    ).otherwise(F.concat(F.lit("&ID="), F.col("o_orderkey"), F.lit("&sid=zakony")))
+    url_a = F.concat(
+        F.lit("HTTPS://WWW.NRSR.SK/Web/Default.aspx?utm_source=mail"),
+        content,
+        F.lit("&fbclid=x"),
+        F.col("o_orderkey"),
+    )
+    url_b = F.concat(
+        F.lit("HTTPS://WWW.NRSR.SK/Web/Default.aspx?UTM_campaign=y"),
+        content,
+        F.lit("&gclid=z"),
+        F.col("o_orderkey"),
+        F.lit("#frag"),
+    )
+    df = orders.select(
+        "o_orderkey",
+        U.strip_tracking(U.canonicalize(url_a)).alias("stripped_a"),
+        U.strip_tracking(U.canonicalize(url_b)).alias("stripped_b"),
+    )
+    return df.select(
+        "o_orderkey",
+        "stripped_a",
+        (
+            (F.col("stripped_a") == F.col("stripped_b"))
+            & (U.url_hash(F.col("stripped_a")) == U.url_hash(F.col("stripped_b")))
+        ).alias("collapsed"),
+    )

@@ -296,3 +296,43 @@ def host_shard(host: Column, url_hash_col: Column, num_shards: int = 64, salt: i
     expression; this is what kills single-host shuffle skew at 10^10 URLs.
     """
     return F.pmod(F.xxhash64(host, F.pmod(url_hash_col, F.lit(salt))), F.lit(num_shards))
+
+
+# default drop-list: analytics/click/session params that change per visitor
+# but never the content — stripping them is the standard crawler
+# canonicalization step that collapses tracking aliases of one page
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_NAMES = (
+    "fbclid", "gclid", "msclkid", "dclid", "yclid",
+    "sessionid", "phpsessid", "jsessionid", "sid_tracking",
+)
+
+
+def strip_tracking(
+    canon_url: Column,
+    prefixes: tuple[str, ...] = TRACKING_PREFIXES,
+    names: tuple[str, ...] = TRACKING_NAMES,
+) -> Column:
+    """Remove tracking query params from an ALREADY-CANONICAL URL
+    (:func:`canonicalize` output: sorted ``k=v`` params joined by ``&``,
+    no fragment).  A param is dropped when its key (case-insensitive)
+    equals one of ``names`` or starts with one of ``prefixes``; a query
+    left empty drops its ``?``.  Composable BEFORE :func:`url_hash` so
+    tracking aliases of one page collapse into one frontier row — pure
+    column expressions (split → filter → array_join), zero shuffle, and
+    idempotent like the canonicalizer itself."""
+    base = F.substring_index(canon_url, "?", 1)
+    qpos = F.locate("?", canon_url)
+    query = F.substring(canon_url, qpos + F.lit(1), F.length(canon_url))
+
+    def keep(p: Column) -> Column:
+        key = F.lower(F.substring_index(p, "=", 1))
+        cond = key.isin(*names) if names else F.lit(False)
+        for pre in prefixes:
+            cond = cond | key.startswith(pre)
+        return ~cond
+
+    kept = F.array_join(F.filter(F.split(query, "&"), keep), "&")
+    return F.when(canon_url.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when((qpos == 0) | (kept == ""), base).otherwise(F.concat(base, F.lit("?"), kept))
+    )

@@ -120,3 +120,34 @@ def test_host_shard_spreads_single_host(spark):
     n = df.select(U.host_shard(F.col("host"), F.col("h"), 64, 16).alias("s")) \
           .select(F.countDistinct("s")).collect()[0][0]
     assert n >= 12  # 16 salts → up to 16 distinct shards for one host
+
+
+def test_strip_tracking_semantics(spark):
+    cases = [
+        # (raw, expected after canonicalize -> strip_tracking)
+        ("https://x.sk/p?utm_source=a&id=3", "https://x.sk/p?id=3"),
+        ("https://x.sk/p?UTM_Campaign=a&fbclid=z", "https://x.sk/p"),  # all tracking -> no '?'
+        ("https://x.sk/p", "https://x.sk/p"),  # no query untouched
+        ("https://x.sk/p?gclid=1&id=2&sessionid=9&b=4", "https://x.sk/p?b=4&id=2"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [
+        r[0]
+        for r in df.select(
+            U.strip_tracking(U.canonicalize(F.col("url")))
+        ).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+
+def test_strip_tracking_idempotent_and_hash_collapse(spark):
+    df = spark.createDataFrame(
+        [("https://x.sk/p?utm_a=1&id=7",), ("HTTPS://X.SK/p?id=7&fbclid=q#f",)],
+        ["url"],
+    )
+    out = df.select(U.strip_tracking(U.canonicalize(F.col("url"))).alias("s"))
+    once = [r.s for r in out.collect()]
+    twice = [r.s for r in out.select(U.strip_tracking(F.col("s")).alias("s")).collect()]
+    assert once == twice  # idempotent on its own output
+    assert once[0] == once[1]  # tracking aliases collapse to one URL
