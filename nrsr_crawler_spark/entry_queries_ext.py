@@ -515,3 +515,51 @@ def f10_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (U.url_hash(F.col("stripped_a")) == U.url_hash(F.col("stripped_b")))
         ).alias("collapsed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O4: fetch-retry resolution (operators/retry.py — Scrapy RetryMiddleware
+# parity, RETRY_TIMES=2 / RETRY_PRIORITY_ADJUST=-1).  Attempt log derived
+# from orders: key o_orderkey fails its first (o_orderkey % 5) attempts —
+# fail_times 0-2 resolve 'ok' in fail_times+1 attempts, 3-4 exhaust the
+# budget and resolve 'failed' after max_retries+1 = 3 attempts.  Attempt
+# rows BEYOND the policy horizon (attempt 3) are present in the log and must
+# be ignored.  One map-side-combinable groupBy — no windows, 10^10-attempt
+# shape.  The in-crawl-loop wiring (same policy, live pending re-scheduling)
+# is gated by tests/test_crawl_retry.py.
+@query(
+    "o4_retry_resolve",
+    """
+    WITH log AS (
+        SELECT o_orderkey, a.attempt,
+               a.attempt >= (o_orderkey % 5) AS ok
+        FROM orders, (SELECT unnest([0, 1, 2, 3]) AS attempt) a
+    ),
+    agg AS (
+        SELECT o_orderkey, MIN(CASE WHEN ok THEN attempt END) AS first_ok
+        FROM log WHERE attempt <= 2 GROUP BY o_orderkey
+    )
+    SELECT o_orderkey,
+           CAST(COALESCE(first_ok + 1, 3) AS INT) AS n_attempts,
+           CASE WHEN first_ok IS NOT NULL THEN 'ok' ELSE 'failed' END AS final_status,
+           CAST((COALESCE(first_ok + 1, 3) - 1) * -1 AS INT) AS final_priority_adjust
+    FROM agg
+    """,
+)
+def o4_retry_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators import retry as RT
+
+    orders = load(spark, sf_dir, "orders")
+    log = orders.select(
+        "o_orderkey",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("attempt"),
+    ).withColumn("ok", F.col("attempt") >= F.pmod(F.col("o_orderkey"), F.lit(5)))
+    out = RT.resolve_attempts(
+        log, max_retries=2, priority_adjust=-1, key_col="o_orderkey"
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("n_attempts").cast("int").alias("n_attempts"),
+        "final_status",
+        F.col("final_priority_adjust").cast("int").alias("final_priority_adjust"),
+    )

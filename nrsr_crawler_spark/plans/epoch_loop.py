@@ -76,6 +76,7 @@ from nrsr_crawler_spark.operators import parse as parse_ops
 from nrsr_crawler_spark.operators import parse_typed as PT
 from nrsr_crawler_spark.operators import cuckoo as cuckoo_ops
 from nrsr_crawler_spark.operators import politeness, robots, seen as seen_ops
+from nrsr_crawler_spark.operators import retry as retry_ops
 from nrsr_crawler_spark.operators import traps
 
 FRONTIER_SCHEMA = (
@@ -83,7 +84,10 @@ FRONTIER_SCHEMA = (
     "depth int, priority int, seq long, parent_hash long, segment_id int, "
     "tpl_hash long"
 )
-FETCHLOG_SCHEMA = "url_hash long, canon_url string, seq long, depth int, pop_rank int"
+FETCHLOG_SCHEMA = (
+    "url_hash long, canon_url string, seq long, depth int, pop_rank int, "
+    "status string, attempt int"
+)
 EXPIRED_SCHEMA = "url_hash long, mode string, epoch int"
 EDGES_SCHEMA = "parent_hash long, parent_seq long, child_idx int, url string, canon_url string, url_hash long"
 
@@ -96,6 +100,8 @@ class CrawlStats:
     fetched: int
     enqueued: int
     items: int
+    retried: int = 0
+    failed: int = 0
 
 
 class CrawlEngine:
@@ -123,6 +129,8 @@ class CrawlEngine:
         trap_max_urls: int | None = None,
         trap_penalty: int = 1_000_000,
         epoch_seconds: float | None = None,
+        max_retries: int = retry_ops.DEFAULT_MAX_RETRIES,
+        retry_priority_adjust: int = retry_ops.DEFAULT_PRIORITY_ADJUST,
     ):
         self.spark = spark
         self.lake = EpochLake(lake_root)
@@ -171,12 +179,20 @@ class CrawlEngine:
                 f"seq_parent_bits + seq_child_bits must fit below the epoch "
                 f"shift ({_SEQ_EPOCH_SHIFT} bits)"
             )
+        # fetch-failure retries (Scrapy RetryMiddleware parity, operators/
+        # retry.py): a page whose optional ``fail_times`` metadata exceeds
+        # the current attempt counts as a transient 5xx — re-scheduled with
+        # the SAME lineage seq and ``retry_priority_adjust`` applied, up to
+        # ``max_retries`` extra attempts, then logged status='failed'.
+        self.max_retries = max_retries
+        self.retry_priority_adjust = retry_priority_adjust
         # page table keyed by canonical fingerprint (the deterministic "server")
         pages_path = str(self.lake.root / "pages")
         pages.withColumn("page_canon", U.canonicalize(F.col("url"))).withColumn(
             "page_hash", U.url_hash(F.col("page_canon"))
         ).write.mode("overwrite").parquet(pages_path)
         self.pages = spark.read.parquet(pages_path)
+        self._retries_enabled = "fail_times" in self.pages.columns
 
     # -- helpers -------------------------------------------------------------
     def _child_seq(self, epoch: int):
@@ -672,6 +688,12 @@ class CrawlEngine:
         fetched_log = self.lake.read_merged(
             self.spark, "fetch_log", schema=FETCHLOG_SCHEMA + ", epoch int"
         )
+        if "status" not in fetched_log.columns:
+            # lake written before retry semantics existed: backfill (every
+            # logged fetch was a single successful attempt)
+            fetched_log = fetched_log.withColumn("status", F.lit("ok")).withColumn(
+                "attempt", F.lit(0)
+            )
         # recrawl/TTL tombstones (see expire()): 'forget' evicts the URL from
         # frontier+seen entirely (re-enqueued only on re-discovery); both
         # modes clear its fetched status so surviving frontier entries become
@@ -727,6 +749,18 @@ class CrawlEngine:
             )
 
         total_fetched = total_enqueued = total_items = 0
+        total_retried = total_failed = 0
+        # mid-retry side state: (url_hash, attempt) — bounded by URLs whose
+        # last fetch failed transiently (≤ one pop batch), NOT crawl history.
+        # Driver-session-scoped: on crash/resume, in-flight retry counters
+        # reset to attempt 0 (same restart semantics as the reference's
+        # Scrapy process — retry counts live on the in-memory Request).
+        retry_state = (
+            self.spark.createDataFrame([], "url_hash long, attempt int")
+            if self._retries_enabled
+            else None
+        )
+        retry_state_live = False  # becomes True at the first transient failure
         parent_cap = 1 << self.seq_parent_bits
         child_cap = 1 << self.seq_child_bits
         for _ in range(max_epochs):
@@ -785,17 +819,58 @@ class CrawlEngine:
             # join on top of the persisted pop result.
             batch = self._with_global_rank(popped)
 
-            fetched = batch.join(
-                self.pages.select(F.col("page_hash").alias("url_hash"), "body"),
-                "url_hash",
-                "left",
-            )
+            page_cols = [F.col("page_hash").alias("url_hash"), "body"]
+            if self._retries_enabled:
+                page_cols.append("fail_times")
+            fetched_raw = batch.join(self.pages.select(*page_cols), "url_hash", "left")
+            if self._retries_enabled:
+                # RetryMiddleware semantics: attempt index from the tiny
+                # broadcast side state; a transient failure either re-enters
+                # pending (attempt < max_retries) or gives up ('failed').
+                fetched_raw = (
+                    fetched_raw.join(
+                        F.broadcast(retry_state.withColumnRenamed("attempt", "__ra")),
+                        "url_hash",
+                        "left",
+                    )
+                    .withColumn("__att", F.coalesce(F.col("__ra"), F.lit(0)))
+                    .withColumn(
+                        "__transient",
+                        retry_ops.is_transient_failure(
+                            F.col("__att"), F.col("fail_times")
+                        ),
+                    )
+                    .drop("__ra")
+                )
+            else:
+                fetched_raw = fetched_raw.withColumn(
+                    "__att", F.lit(0)
+                ).withColumn("__transient", F.lit(False))
             if self.typed_items:
                 # ONE dialect-tag pass per body (VERDICT r2 finding #3): every
                 # typed extractor below filters on this cached column instead
                 # of re-scanning the full body per dialect
-                fetched = fetched.withColumn("__kind", PT.kind_expr(F.col("body")))
-            fetched = fetched.persist()
+                fetched_raw = fetched_raw.withColumn(
+                    "__kind", PT.kind_expr(F.col("body"))
+                )
+            fetched_raw = fetched_raw.persist()
+            if self._retries_enabled:
+                # one tiny agg (also materializes the cache pre-fan-out)
+                r = fetched_raw.agg(
+                    F.sum(
+                        (F.col("__transient") & (F.col("__att") < self.max_retries)).cast("int")
+                    ).alias("nr"),
+                    F.sum(
+                        (F.col("__transient") & (F.col("__att") >= self.max_retries)).cast("int")
+                    ).alias("nf"),
+                ).collect()[0]
+                n_retry, n_gaveup = int(r.nr or 0), int(r.nf or 0)
+            else:
+                n_retry = n_gaveup = 0
+            retry_again = F.col("__transient") & (F.col("__att") < F.lit(self.max_retries))
+            # successes + exhausted failures are DONE (logged); re-scheduled
+            # attempts never reach the log, so they stay pending
+            fetched = fetched_raw.filter(~F.col("__transient"))
 
             # children: resolve reference-style (absolute pass-through, else
             # BASE_URL concat — members.py:76), canon+hash+robots at schedule time
@@ -854,8 +929,10 @@ class CrawlEngine:
             obs_frontier = Observation()
             obs_items = Observation()
             writes: list[tuple[str, DataFrame]] = [
-                ("fetch_log", batch.select(
-                    "url_hash", "canon_url", "seq", "depth", F.col("grk").alias("pop_rank")
+                ("fetch_log", fetched_raw.filter(~retry_again).select(
+                    "url_hash", "canon_url", "seq", "depth", F.col("grk").alias("pop_rank"),
+                    F.when(F.col("__transient"), F.lit("failed")).otherwise(F.lit("ok")).alias("status"),
+                    F.col("__att").alias("attempt"),
                 )),
                 ("edges", edges.select(
                     "parent_hash", "parent_seq", "child_idx", "url", "canon_url", "url_hash"
@@ -912,24 +989,53 @@ class CrawlEngine:
                         f"epoch {epoch}: child_idx {int(max_child)} exceeds the "
                         f"2^{self.seq_child_bits} seq-packing bound; raise seq_child_bits"
                     )
-            self.lake.commit(
-                epoch,
-                {"kind": "crawl", "popped": n_popped, "enqueued": n_new, "items": n_items, "edges": n_edges},
-            )
+            meta = {"kind": "crawl", "popped": n_popped, "enqueued": n_new, "items": n_items, "edges": n_edges}
+            if self._retries_enabled:
+                meta["retried"] = n_retry
+                meta["failed"] = n_gaveup
+            self.lake.commit(epoch, meta)
             if self.compact_every and epoch > 0 and epoch % self.compact_every == 0:
                 self.compact()
-            total_fetched += n_popped
+            total_fetched += n_popped - n_retry
             total_enqueued += n_new
             total_items += n_items
+            total_retried += n_retry
+            total_failed += n_gaveup
 
             # incremental state update — O(|pending| + delta), committed
             # content read back from the delta just written (no recompute)
             popped_keys = batch.select("url_hash")
+            if n_retry > 0:
+                # re-schedule transient failures: SAME frontier row (lineage
+                # seq preserved — order certification holds), priority
+                # nudged by retry_priority_adjust.  The retry key set is
+                # tiny (≤ batch), so rejoining the ORIGINAL pending row is
+                # a broadcast map-side join — no boost/demotion drift from
+                # re-deriving priority off the mutated pop-time value.
+                retry_keys = fetched_raw.filter(retry_again).select("url_hash")
+                retry_pend = pending.join(F.broadcast(retry_keys), "url_hash").withColumn(
+                    "priority", F.col("priority") + F.lit(self.retry_priority_adjust)
+                )
+            else:
+                retry_pend = None
+            if self._retries_enabled and (n_retry > 0 or retry_state_live):
+                retry_state_live = True
+                next_retry_state = retry_state.join(popped_keys, "url_hash", "left_anti")
+                if n_retry > 0:
+                    next_retry_state = next_retry_state.unionByName(
+                        fetched_raw.filter(retry_again).select(
+                            "url_hash", (F.col("__att") + 1).alias("attempt")
+                        )
+                    )
+                retry_state = next_retry_state.localCheckpoint()
             if n_new > 0:
                 committed_new = self.spark.read.parquet(self.lake.delta_path("frontier", epoch))
                 next_pending = pending.join(popped_keys, "url_hash", "left_anti").unionByName(
                     committed_new
-                ).localCheckpoint()
+                )
+                if retry_pend is not None:
+                    next_pending = next_pending.unionByName(retry_pend)
+                next_pending = next_pending.localCheckpoint()
                 if tpl_counts is not None:
                     # O(delta) merge: only the newly enqueued rows aggregate;
                     # the running store is (distinct templates)-sized
@@ -956,12 +1062,15 @@ class CrawlEngine:
                     else:
                         self._merge_bloom(new_hashes, seen, seen_count)
             else:
-                next_pending = pending.join(popped_keys, "url_hash", "left_anti").localCheckpoint()
+                next_pending = pending.join(popped_keys, "url_hash", "left_anti")
+                if retry_pend is not None:
+                    next_pending = next_pending.unionByName(retry_pend)
+                next_pending = next_pending.localCheckpoint()
             old_pending = pending
             pending = next_pending
             old_pending.unpersist()
             popped.unpersist()
-            fetched.unpersist()
+            fetched_raw.unpersist()
             edges.unpersist()
         pending.unpersist()
         if self._segments is not None:
@@ -969,7 +1078,14 @@ class CrawlEngine:
         if self._seg_bc is not None:
             self._seg_bc.destroy()
             self._seg_bc = None
-        return CrawlStats(epochs=self.lake.last_committed(), fetched=total_fetched, enqueued=total_enqueued, items=total_items)
+        return CrawlStats(
+            epochs=self.lake.last_committed(),
+            fetched=total_fetched,
+            enqueued=total_enqueued,
+            items=total_items,
+            retried=total_retried,
+            failed=total_failed,
+        )
 
     # -- final state ----------------------------------------------------------
     def typed_store(self, item_type: str) -> DataFrame:

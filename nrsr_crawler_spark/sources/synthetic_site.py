@@ -330,3 +330,33 @@ PAGES_SCHEMA = (
     "url string, kind string, period_num int, body binary, "
     "child_urls array<string>, payload string, image_id string"
 )
+
+
+def inject_failures(
+    pages,
+    transient_every: int = 3,
+    transient_times: int = 1,
+    permanent_urls: list[str] | None = None,
+    permanent_times: int = 1_000_000,
+    exempt: list[str] | None = None,
+):
+    """Deterministic fetch-failure metadata for retry tests (operators/
+    retry.py): adds a ``fail_times`` column — the number of initial attempts
+    that return a transient error (the sandbox 5xx stand-in).
+
+    Every page whose url fingerprint satisfies ``pmod(h, transient_every)
+    == 1`` fails ``transient_times`` times then succeeds; URLs listed in
+    ``permanent_urls`` fail forever (``permanent_times`` ≫ max_retries) and
+    exhaust the retry budget; ``exempt`` URLs (e.g. the seed) never fail.
+    Pure column expressions, no shuffle."""
+    from pyspark.sql import functions as F
+
+    h = F.xxhash64(F.col("url"))
+    ft = F.when(
+        F.pmod(h, F.lit(transient_every)) == 1, F.lit(transient_times)
+    ).otherwise(F.lit(None).cast("int"))
+    if permanent_urls:
+        ft = F.when(F.col("url").isin(*permanent_urls), F.lit(permanent_times)).otherwise(ft)
+    if exempt:
+        ft = F.when(F.col("url").isin(*exempt), F.lit(None).cast("int")).otherwise(ft)
+    return pages.withColumn("fail_times", ft)
