@@ -563,3 +563,51 @@ def o4_retry_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "final_status",
         F.col("final_priority_adjust").cast("int").alias("final_priority_adjust"),
     )
+
+
+# S9 (engine addition): HTTP content-encoding middleware parity
+# (sources/compression.py; reference settings.py:66 enables Scrapy's
+# HttpCompressionMiddleware).  Bodies compressed per-row (gzip / deflate /
+# identity by key arithmetic) then inflated back through the middleware —
+# the oracle sees the plaintext directly, so any corruption in either
+# codec path hash-mismatches on the full body text.  In-engine wiring
+# (CrawlEngine inflates at the source boundary) is gated by
+# tests/test_compression.py's byte-identical crawl parity.
+@query(
+    "s9_content_encoding",
+    """
+    SELECT doc_id,
+           CASE hash_bucket % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'deflate'
+                ELSE 'identity' END AS served_encoding,
+           text AS body,
+           LENGTH(text) AS n_chars
+    FROM (SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS hash_bucket
+          FROM documents)
+    """,
+)
+def s9_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from nrsr_crawler_spark.sources import compression as C
+
+    docs = load(spark, sf_dir, "documents")
+    plain = docs.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("hash_bucket"),
+        F.col("text").cast("binary").alias("body"),
+    ).select(
+        "doc_id",
+        F.when(F.pmod(F.col("hash_bucket"), F.lit(3)) == 0, F.lit("gzip"))
+        .when(F.pmod(F.col("hash_bucket"), F.lit(3)) == 1, F.lit("deflate"))
+        .otherwise(F.lit("identity"))
+        .alias("enc"),
+        "body",
+    )
+    served = C.with_encoding(plain, F.col("enc"))
+    inflated = C.inflate_bodies(served)
+    return inflated.select(
+        "doc_id",
+        F.col("enc").alias("served_encoding"),
+        F.col("body").cast("string").alias("body"),
+        F.length(F.col("body").cast("string")).alias("n_chars"),
+    )

@@ -1009,3 +1009,39 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables=8,
         max_bucket=60,
     ).select("id_a", "id_b", "cos_sim")
+
+
+# Decoded-pixel content gate (operators/image_quality.py): flat / clipped /
+# low-entropy images planted deterministically by key arithmetic (custkey%7:
+# 0 → constant-flat, 1 → rail-clipped threshold, else untouched), then
+# re-detected FROM DECODED PIXELS after the lossy codec round-trip.  The
+# oracle derives the expected flag from the same arithmetic — any drift in
+# decode, the quality signals, or the gate thresholds hash-mismatches.
+@query(
+    "images_quality_gate",
+    """
+    SELECT printf('img%010d', c_custkey) AS image_id,
+           CASE c_custkey % 7 WHEN 0 THEN 'flat' WHEN 1 THEN 'clipped'
+                ELSE 'ok' END AS flag,
+           CAST(c_custkey % 7 >= 2 AS INT) AS keep
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def images_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators import image_quality as IQ
+
+    modes = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select(
+            F.format_string("img%010d", F.col("c_custkey")).alias("image_id"),
+            F.col("c_name").alias("caption"),
+            F.when(F.pmod(F.col("c_custkey"), F.lit(7)) == 0, F.lit("flat"))
+            .when(F.pmod(F.col("c_custkey"), F.lit(7)) == 1, F.lit("clipped"))
+            .otherwise(F.lit("ok"))
+            .alias("mode"),
+        )
+    )
+    imgs = IQ.build_degraded_images(spark, modes)
+    gated = IQ.quality_gate(IQ.quality_stats(imgs))
+    return gated.select("image_id", "flag", "keep")

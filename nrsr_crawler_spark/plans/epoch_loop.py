@@ -78,6 +78,7 @@ from nrsr_crawler_spark.operators import cuckoo as cuckoo_ops
 from nrsr_crawler_spark.operators import politeness, robots, seen as seen_ops
 from nrsr_crawler_spark.operators import retry as retry_ops
 from nrsr_crawler_spark.operators import traps
+from nrsr_crawler_spark.sources import compression
 
 FRONTIER_SCHEMA = (
     "url string, canon_url string, url_hash long, host string, host_shard long, "
@@ -186,7 +187,11 @@ class CrawlEngine:
         # ``max_retries`` extra attempts, then logged status='failed'.
         self.max_retries = max_retries
         self.retry_priority_adjust = retry_priority_adjust
-        # page table keyed by canonical fingerprint (the deterministic "server")
+        # page table keyed by canonical fingerprint (the deterministic "server").
+        # Content-encoding (gzip/deflate) is inflated HERE, once, at the source
+        # boundary (HttpCompressionMiddleware parity, sources/compression.py) —
+        # the epoch loop and parse kernels always see plain bytes.
+        pages = compression.inflate_bodies(pages)
         pages_path = str(self.lake.root / "pages")
         pages.withColumn("page_canon", U.canonicalize(F.col("url"))).withColumn(
             "page_hash", U.url_hash(F.col("page_canon"))
