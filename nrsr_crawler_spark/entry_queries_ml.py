@@ -1045,3 +1045,30 @@ def images_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = IQ.build_degraded_images(spark, modes)
     gated = IQ.quality_gate(IQ.quality_stats(imgs))
     return gated.select("image_id", "flag", "keep")
+
+
+# Training-shard manifest (operators/shards.py): deterministic md5-bucket
+# sharding of the document corpus + per-shard manifest row (count / byte
+# weight / key range).  The oracle reproduces the shard function from the
+# same instr/substring arithmetic — membership, balance, and ranges are all
+# hash-gated.  The physical write path (repartition + sortWithinPartitions
+# + maxRecordsPerFile) is gated by tests/test_shards.py.
+def _shards_oracle_sql() -> str:
+    from nrsr_crawler_spark.operators.shards import oracle_shard_sql
+
+    return f"""
+    SELECT {oracle_shard_sql('doc_id')} AS shard_id,
+           COUNT(*) AS n_rows,
+           SUM(LENGTH(text)) AS total_weight,
+           MIN(doc_id) AS first_key,
+           MAX(doc_id) AS last_key
+    FROM documents GROUP BY 1
+    """
+
+
+@query("train_shards_stats", _shards_oracle_sql())
+def train_shards_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators import shards as SH
+
+    docs = load(spark, sf_dir, "documents")
+    return SH.shard_stats(docs, "doc_id", F.length("text").cast("long"))
