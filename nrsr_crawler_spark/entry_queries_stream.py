@@ -64,3 +64,84 @@ def stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "canon_url string, host string")
+
+
+@query(
+    "stream_image_quality",
+    """
+    SELECT TIMESTAMP '2024-01-01 12:00:00'
+               + ((c_custkey // 60) * 60) * INTERVAL 1 SECOND AS win_start,
+           CASE c_custkey % 7 WHEN 0 THEN 'flat' WHEN 1 THEN 'clipped'
+                ELSE 'ok' END AS flag,
+           COUNT(*) AS n_images
+    FROM customer WHERE c_custkey <= 240
+    GROUP BY 1, 2
+    """,
+)
+def stream_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming image ingest (streaming/image_stream.py): decode + quality
+    gate + windowed per-flag counts, run availableNow over a deterministic
+    event fixture (flags planted by key arithmetic, one far-future sentinel
+    event advances the watermark so every real window closes and flushes in
+    append mode).  The oracle reproduces the closed windows' counts; the
+    pixel-level signal exactness is covered by images_quality_gate."""
+    import datetime as dt
+
+    from nrsr_crawler_spark.operators import image_quality as IQ
+    from nrsr_crawler_spark.streaming import image_stream as IS
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    modes = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 240)
+        .select(
+            F.format_string("img%010d", F.col("c_custkey")).alias("image_id"),
+            F.lit("cap").alias("caption"),
+            F.when(F.pmod(F.col("c_custkey"), F.lit(7)) == 0, F.lit("flat"))
+            .when(F.pmod(F.col("c_custkey"), F.lit(7)) == 1, F.lit("clipped"))
+            .otherwise(F.lit("ok"))
+            .alias("mode"),
+            F.col("c_custkey").alias("offset_s"),
+        )
+    )
+    imgs = IQ.build_degraded_images(spark, modes.drop("offset_s"))
+    events = imgs.join(
+        modes.select("image_id", "offset_s"), "image_id"
+    ).select(
+        "image_id",
+        "bytes",
+        "phash",
+        (F.lit(t0) + F.make_interval(secs=F.col("offset_s").cast("double"))).alias("fetch_ts"),
+    )
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="nrsr_imgstream_q_")
+    src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    try:
+        # sentinel must carry decodable bytes — give it a real flat image
+        from nrsr_crawler_spark.sources.images import encode_image
+        import numpy as np
+
+        sent_bytes = encode_image(np.full((8, 8), 7, dtype=np.uint8), "png")
+        sentinel = spark.createDataFrame(
+            [("sentinel", sent_bytes, 0, t0 + dt.timedelta(seconds=100000))],
+            IS.IMAGE_EVENT_SCHEMA,
+        )
+        events.unionByName(sentinel).write.parquet(src)
+        metrics = IS.windowed_quality_metrics(
+            IS.score_stream(IS.image_event_stream(spark, src))
+        )
+        q = (
+            metrics.select("win_start", "flag", "n_images")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "win_start timestamp, flag string, n_images long")
