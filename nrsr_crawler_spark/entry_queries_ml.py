@@ -1072,3 +1072,79 @@ def train_shards_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return SH.shard_stats(docs, "doc_id", F.length("text").cast("long"))
+
+
+# Joint image×caption sample filter (operators/pair_gate.py): image content
+# flags planted by custkey%7 (as images_quality_gate), caption defects
+# planted by custkey%5 ('' → short, one token → short, ALL-CAPS → shouty).
+# The oracle derives both gates and the precedence'd drop ledger from the
+# same arithmetic — detection itself runs on decoded pixels / real column
+# expressions Spark-side.
+@query(
+    "multimodal_pair_gate",
+    """
+    WITH base AS (
+        SELECT c_custkey,
+               printf('img%010d', c_custkey) AS image_id,
+               CASE c_custkey % 7 WHEN 0 THEN 'flat' WHEN 1 THEN 'clipped'
+                    ELSE 'ok' END AS image_flag,
+               CASE c_custkey % 5 WHEN 1 THEN 'short' WHEN 2 THEN 'short'
+                    WHEN 3 THEN 'shouty' ELSE 'ok' END AS caption_reason
+        FROM customer WHERE c_custkey <= 280
+    )
+    SELECT image_id, image_flag, caption_reason,
+           CAST(image_flag = 'ok' AND caption_reason = 'ok' AS INT) AS keep,
+           CASE WHEN image_flag <> 'ok' THEN 'image_' || image_flag
+                WHEN caption_reason <> 'ok' THEN 'caption_' || caption_reason
+                ELSE NULL END AS drop_reason
+    FROM base
+    """,
+)
+def multimodal_pair_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators import image_quality as IQ
+    from nrsr_crawler_spark.operators import pair_gate as PG
+
+    base = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 280)
+        .select(
+            F.format_string("img%010d", F.col("c_custkey")).alias("image_id"),
+            F.when(F.pmod(F.col("c_custkey"), F.lit(5)) == 1, F.lit(""))
+            .when(F.pmod(F.col("c_custkey"), F.lit(5)) == 2, F.lit("x"))
+            .when(F.pmod(F.col("c_custkey"), F.lit(5)) == 3, F.lit("AAAA BBBB CCCC DDDD"))
+            .otherwise(F.concat(F.lit("Poslanec "), F.col("c_name"), F.lit(" obdobie")))
+            .alias("caption"),
+            F.when(F.pmod(F.col("c_custkey"), F.lit(7)) == 0, F.lit("flat"))
+            .when(F.pmod(F.col("c_custkey"), F.lit(7)) == 1, F.lit("clipped"))
+            .otherwise(F.lit("ok"))
+            .alias("mode"),
+        )
+    )
+    imgs = IQ.build_degraded_images(spark, base.select("image_id", "caption", "mode"))
+    gated = IQ.quality_gate(IQ.quality_stats(imgs))
+    return PG.pair_gate(gated, base.select("image_id", "caption"))
+
+
+# Dataset-card rollup: the per-(source, lang) corpus summary a training run
+# documents — volume, token mass, exact-dup rate via fingerprint distinct.
+# One map-side-combinable aggregation; full oracle.
+@query(
+    "corpus_card",
+    """
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(LENGTH(text)) AS total_chars,
+           SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+           COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_unique_fingerprints
+    FROM documents GROUP BY source, lang
+    """,
+)
+def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+        F.countDistinct(F.md5(norm)).alias("n_unique_fingerprints"),
+    )
