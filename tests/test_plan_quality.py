@@ -211,3 +211,43 @@ def test_trap_demotion_stays_broadcast_and_adds_no_exchange(spark):
     assert "BroadcastHashJoin" in p_guarded
     n_ex = lambda p: p.count("Exchange hashpartitioning") + p.count("Exchange rangepartitioning")  # noqa: E731
     assert n_ex(p_guarded) == n_ex(p_plain), (n_ex(p_plain), n_ex(p_guarded))
+
+
+def test_quality_stats_single_arrow_pass_no_python_rows(spark):
+    """images_quality_gate: exactly two Arrow passes (fixture image build +
+    decode/signals), flag gate stays column exprs (no BatchEvalPython)."""
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["images_quality_gate"](spark, SF))
+    assert plan.count("+- MapInPandas") == 2, plan[:3000]
+    assert "BatchEvalPython" not in plan
+
+
+def test_pair_gate_no_python_above_decode(spark):
+    """multimodal_pair_gate: caption gate + join + ledger all JVM-side —
+    the only Python is the fixture build + image decode (two Arrow passes)."""
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["multimodal_pair_gate"](spark, SF))
+    assert plan.count("+- MapInPandas") == 2, plan[:3000]
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_write_plan_single_shuffle(spark):
+    """write_shards' pre-write frame: exactly one exchange (the shard_id
+    repartition); assignment + sort add none."""
+    from pyspark.sql import functions as F
+
+    from nrsr_crawler_spark.operators import shards as SH
+    from nrsr_crawler_spark.sources.tpch import load
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")  # bare scan: no repartition noise
+    staged = (
+        SH.assign_shards(docs, "doc_id", 8)
+        .repartition(8, "shard_id")
+        .sortWithinPartitions("shard_id", "doc_id")
+    )
+    plan = _plan(staged)
+    assert plan.count("+- Exchange") == 1, plan[:3000]
+    assert "BatchEvalPython" not in plan
