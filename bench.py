@@ -41,6 +41,7 @@ HEADLINE = [
     "images_phash_neardup",  # image near-dup: banded Hamming join on phash
     "text_substring_dedup",  # exact dup-span detection, linear shingle join
     "link_pagerank",  # iterative integer PageRank, 3 shuffled iterations
+    "images_quality_gate",  # decoded-pixel content gate: Arrow decode throughput
 ]
 
 
