@@ -133,20 +133,30 @@ class EpochLake:
                 shutil.rmtree(p)
 
     def read_merged(
-        self, spark: SparkSession, table: str, schema: str | None = None
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: str | None = None,
+        upto: int | None = None,
     ) -> DataFrame:
         """Base (if any) + the deltas after it — O(base + tail) files instead
         of O(all epochs).  Logically identical to :meth:`read_all` for
         tables whose base is the per-key latest-row projection (the window
-        dedupe downstream picks the same winners either way)."""
-        upto = self.base_upto(table)
-        if upto < 0:
-            return self.read_all(spark, table, schema=schema)
-        base = spark.read.parquet(str(self.root / table / "_base" / f"upto={upto}"))
-        last = self.last_committed()
+        dedupe downstream picks the same winners either way).
+
+        ``upto`` = snapshot (time-travel) read as of that committed epoch —
+        the Iceberg ``VERSION AS OF`` stand-in.  A base newer than the
+        requested snapshot can't serve it (rows after ``upto`` are folded
+        in), so that case falls back to the delta-history read: time travel
+        costs O(epochs ≤ upto), the current view stays O(base + tail)."""
+        base_e = self.base_upto(table)
+        last = self.last_committed() if upto is None else min(upto, self.last_committed())
+        if base_e < 0 or base_e > last:
+            return self.read_all(spark, table, upto=last, schema=schema)
+        base = spark.read.parquet(str(self.root / table / "_base" / f"upto={base_e}"))
         tail_dirs = [
             self.delta_path(table, e)
-            for e in range(upto + 1, last + 1)
+            for e in range(base_e + 1, last + 1)
             if Path(self.delta_path(table, e)).exists()
         ]
         if not tail_dirs:

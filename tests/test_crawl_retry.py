@@ -145,3 +145,38 @@ def test_no_failures_is_zero_overhead_schema_parity(spark, tmp_path):
     assert {"status", "attempt"} <= set(log.columns)
     rows = log.select("status", "attempt").distinct().collect()
     assert [(r.status, r.attempt) for r in rows] == [("ok", 0)]
+
+
+def test_missing_page_logged_not_retried(spark, tmp_path):
+    """404 path: a link whose page doesn't exist is fetched once, logged
+    status='missing' (attempt 0), never re-scheduled (Scrapy default: 404 is
+    not in RETRY_HTTP_CODES), and contributes no items."""
+    site = _site()
+    pages = _pages_df(spark, site)
+    # drop one non-seed page row — its URL stays linked from parents
+    victim = sorted(u for u in site if u != SEED_URL)[-1]
+    holey = pages.filter(F.col("url") != victim)
+    assert holey.count() == pages.count() - 1
+
+    eng = CrawlEngine(
+        spark, holey, str(tmp_path / "holey"), budget_per_host=100, use_bloom=False
+    )
+    stats = eng.run([SEED_URL])
+    assert stats.retried == 0 and stats.failed == 0
+
+    from nrsr_crawler_spark.functions.urls import canonicalize_py
+
+    log = {
+        r.canon_url: (r.status, r.attempt)
+        for r in eng.lake.read_merged(eng.spark, "fetch_log").collect()
+    }
+    vic_canon = canonicalize_py(victim)
+    assert log[vic_canon] == ("missing", 0)
+    # the only other dangling links in the synthetic site are its
+    # javascript pseudo-hrefs (crawl noise the reference renders via
+    # Splash) — every real page stays 'ok'
+    assert all(
+        st == "ok" or "javascript:" in u
+        for u, (st, _a) in log.items()
+        if u != vic_canon
+    ), sorted(u for u, (st, _a) in log.items() if st != "ok")
