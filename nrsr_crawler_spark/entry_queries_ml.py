@@ -1148,3 +1148,131 @@ def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
         F.countDistinct(F.md5(norm)).alias("n_unique_fingerprints"),
     )
+
+
+# Benchmark decontamination: corpus docs sharing an 8-token window with the
+# eval split (doc_id % 20 == 0 plays the benchmark suite) are flagged.  The
+# eval side's distinct gram keys broadcast; the corpus is never shuffled.
+@query(
+    "text_decontaminate",
+    """
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    grams AS (
+        SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS gkey
+        FROM toks, UNNEST(CASE WHEN len(tk) >= 8 THEN range(1, len(tk) - 6) ELSE [] END) AS u(i)
+    ),
+    eval_g AS (SELECT DISTINCT gkey FROM grams WHERE doc_id % 20 = 0),
+    corpus_g AS (SELECT * FROM grams WHERE doc_id % 20 <> 0),
+    hits AS (
+        SELECT c.doc_id,
+               COUNT(*) AS n_windows,
+               SUM(CASE WHEN e.gkey IS NOT NULL THEN 1 ELSE 0 END) AS eval_hit_windows
+        FROM corpus_g c LEFT JOIN eval_g e USING (gkey)
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_windows, 0) AS n_windows,
+           COALESCE(eval_hit_windows, 0) AS eval_hit_windows,
+           CASE WHEN COALESCE(eval_hit_windows, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+    FROM documents d LEFT JOIN hits USING (doc_id)
+    WHERE d.doc_id % 20 <> 0
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram decontamination of the corpus vs an eval split."""
+    from nrsr_crawler_spark.operators.decontaminate import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+    eval_set = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+    return decontaminate(corpus, eval_set, "doc_id", "text", n=8)
+
+
+# Gopher-style within-document repetition signals (top/duplicate n-gram
+# token mass) — per-doc quality filters; counts never cross documents.
+@query(
+    "text_gopher_repetition",
+    """
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    base AS (SELECT doc_id, CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+             FROM documents),
+    g2 AS (
+        SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS gram, COUNT(*) AS cnt
+        FROM toks, UNNEST(CASE WHEN len(tk) >= 2 THEN range(1, len(tk)) ELSE [] END) AS u(i)
+        GROUP BY doc_id, gram
+    ),
+    g3 AS (
+        SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram, COUNT(*) AS cnt
+        FROM toks, UNNEST(CASE WHEN len(tk) >= 3 THEN range(1, len(tk) - 1) ELSE [] END) AS u(i)
+        GROUP BY doc_id, gram
+    ),
+    r2 AS (SELECT doc_id, MAX(cnt) AS g2_max,
+                  SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS g2_dup
+           FROM g2 GROUP BY doc_id),
+    r3 AS (SELECT doc_id, MAX(cnt) AS g3_max FROM g3 GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           CASE WHEN b.n_tokens = 0 THEN 0
+                ELSE (COALESCE(g2_max, 0) * 2 * 10000) // b.n_tokens END AS top2gram_bps,
+           CASE WHEN b.n_tokens = 0 THEN 0
+                ELSE (COALESCE(g3_max, 0) * 3 * 10000) // b.n_tokens END AS top3gram_bps,
+           CASE WHEN b.n_tokens = 0 THEN 0
+                ELSE (COALESCE(g2_dup, 0) * 2 * 10000) // b.n_tokens END AS dup2gram_bps
+    FROM base b LEFT JOIN r2 USING (doc_id) LEFT JOIN r3 USING (doc_id)
+    """,
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.gopher_repetition(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# Aspect-ratio bucketing (NovelAI / SDXL appendix I): every image to its
+# nearest training bucket by the integer cross-aspect metric — pure
+# codegen column exprs over a literal bucket list, no join, no shuffle.
+from nrsr_crawler_spark.operators.buckets import DEFAULT_BUCKETS as _ASPECT_BUCKETS
+
+_ASPECT_BUCKETS_SQL = "[" + ", ".join(
+    f"{{bw: {bw}, bh: {bh}}}" for bw, bh in _ASPECT_BUCKETS
+) + "]"
+
+
+@query(
+    "images_aspect_buckets",
+    f"""
+    WITH dims AS (
+        SELECT p_partkey AS image_id,
+               64 + (p_partkey * 37) % 1985 AS w,
+               64 + (p_partkey * 91) % 1985 AS h
+        FROM part WHERE p_partkey <= 2000
+    ),
+    buckets AS (
+        SELECT UNNEST(range(len(bl))) AS idx, UNNEST(bl) AS b
+        FROM (SELECT {_ASPECT_BUCKETS_SQL} AS bl)
+    ),
+    scored AS (
+        SELECT d.image_id, d.w, d.h, buckets.idx AS bucket_id,
+               b.bw AS bucket_w, b.bh AS bucket_h,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.image_id
+                   ORDER BY ABS(d.w * b.bh - d.h * b.bw), buckets.idx
+               ) AS rn
+        FROM dims d CROSS JOIN buckets
+    )
+    SELECT image_id, w, h, bucket_id, bucket_w, bucket_h
+    FROM scored WHERE rn = 1
+    """,
+)
+def images_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.buckets import assign_aspect_buckets
+
+    dims = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 2000)
+        .select(
+            F.col("p_partkey").alias("image_id"),
+            (F.lit(64) + F.pmod(F.col("p_partkey") * 37, F.lit(1985))).cast("long").alias("w"),
+            (F.lit(64) + F.pmod(F.col("p_partkey") * 91, F.lit(1985))).cast("long").alias("h"),
+        )
+    )
+    return assign_aspect_buckets(dims).select(
+        "image_id", "w", "h", "bucket_id", "bucket_w", "bucket_h"
+    )

@@ -93,6 +93,73 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
 
+def _ngram_counts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id_col, gram, cnt) — per-doc n-gram occurrence counts (gram kept as
+    the raw space-joined string: counts are per-doc, so volume is bounded by
+    the doc's own token count and never shuffles cross-doc keys)."""
+    tk = tokens(F.col(text_col))
+    grams_arr = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def gopher_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.,
+    arXiv:2112.11446 table A1 — the "fraction of characters in the most
+    common n-gram / in duplicate n-grams" quality filters), re-expressed on
+    token counts so every ratio is an exact integer:
+
+      - ``top2gram_bps``  = floor(10⁴ · 2·max₂cnt / n_tokens) — token mass of
+        the most frequent 2-gram;
+      - ``top3gram_bps``  = same for 3-grams;
+      - ``dup2gram_bps``  = floor(10⁴ · 2·Σ{cnt≥2} cnt / n_tokens) — token
+        mass of ALL repeated 2-grams.
+
+    Docs with fewer tokens than the gram length emit 0 for that signal.
+
+    Scale shape: each n-gram count groups on (doc, gram) — keys never cross
+    documents, so the aggregation is partial-combined and skew-free; the
+    doc-level rollup is a second linear pass on doc id.  No cross-doc join
+    anywhere (contrast ``duplicated_span_stats``, which is the CROSS-doc
+    variant)."""
+    base = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
+    )
+
+    def roll(n: int, prefix: str) -> DataFrame:
+        cnts = _ngram_counts(df, id_col, text_col, n)
+        return cnts.groupBy(id_col).agg(
+            F.max("cnt").alias(f"{prefix}_max"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(f"{prefix}_dup"),
+        )
+
+    r2 = roll(2, "g2")
+    r3 = roll(3, "g3")
+    bps = lambda num: F.when(  # noqa: E731
+        F.col("n_tokens") == 0, F.lit(0).cast("long")
+    ).otherwise((num * 10000).cast("long") / F.col("n_tokens")).cast("long")
+    return (
+        base.join(r2, id_col, "left")
+        .join(r3, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            bps(F.coalesce("g2_max", F.lit(0)) * 2).alias("top2gram_bps"),
+            bps(F.coalesce("g3_max", F.lit(0)) * 3).alias("top3gram_bps"),
+            bps(F.coalesce("g2_dup", F.lit(0)) * 2).alias("dup2gram_bps"),
+        )
+    )
+
+
 def duplicated_span_stats(
     df: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:

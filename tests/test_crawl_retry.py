@@ -70,11 +70,19 @@ def test_transient_failures_recover_to_identical_state(spark, tmp_path):
     log0, seen0, members0 = _final_state(clean)
     log1, seen1, members1 = _final_state(flaky)
     # transient failures fully recover: same pages fetched, same seen set,
-    # same typed stores — and every logged fetch ended 'ok'
+    # same typed stores — and every logged fetch of a REAL page ended 'ok'
+    # (the site's javascript: pseudo-hrefs have no page behind them and log
+    # status='missing' in both runs — see test_missing_page_logged_not_retried)
     assert seen1 == seen0
     assert set(log1) == set(log0)
     assert members1 == members0
-    assert all(st == "ok" for st, _ in log1.values())
+    assert all(
+        st == "ok" or ("javascript:" in u and st == "missing")
+        for u, (st, _a) in log1.items()
+    ), sorted(u for u, (st, _a) in log1.items() if st != "ok")
+    assert {u: v for u, v in log1.items() if v[0] != "ok"} == {
+        u: v for u, v in log0.items() if v[0] != "ok"
+    }
     # each flaky FETCHED page consumed exactly fail_times retries; attempt
     # in the log is the succeeding attempt index
     from nrsr_crawler_spark.functions.urls import canonicalize_py
@@ -143,8 +151,13 @@ def test_no_failures_is_zero_overhead_schema_parity(spark, tmp_path):
     assert not engine._retries_enabled
     log = engine.lake.read_merged(engine.spark, "fetch_log")
     assert {"status", "attempt"} <= set(log.columns)
-    rows = log.select("status", "attempt").distinct().collect()
-    assert [(r.status, r.attempt) for r in rows] == [("ok", 0)]
+    rows = log.select("canon_url", "status", "attempt").collect()
+    # real pages: ('ok', 0); javascript: pseudo-hrefs: ('missing', 0)
+    for r in rows:
+        if "javascript:" in r.canon_url:
+            assert (r.status, r.attempt) == ("missing", 0)
+        else:
+            assert (r.status, r.attempt) == ("ok", 0), r.canon_url
 
 
 def test_missing_page_logged_not_retried(spark, tmp_path):

@@ -1,0 +1,137 @@
+"""Unit tests: benchmark decontamination, Gopher repetition signals,
+aspect-ratio bucketing (training-data-pipeline additions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nrsr_crawler_spark.operators.buckets import (
+    DEFAULT_BUCKETS,
+    assign_aspect_buckets,
+    bucket_stats,
+)
+from nrsr_crawler_spark.operators.decontaminate import decontaminate
+from nrsr_crawler_spark.operators.text import gopher_repetition
+
+
+# ---------------------------------------------------------------- decontaminate
+
+def test_decontaminate_flags_planted_overlap(spark):
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = 1 window
+    corpus = spark.createDataFrame(
+        [
+            # contains the eval 8-gram verbatim inside a longer doc
+            (1, "prefix " + eval_text + " suffix"),
+            # shares only a 7-token prefix → NOT contaminated at n=8
+            (2, "alpha beta gamma delta epsilon zeta eta DIFFERENT tail tail"),
+            # too short for any window
+            (3, "tiny doc"),
+            # no overlap at all
+            (4, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in decontaminate(corpus, eval_set, n=8).collect()}
+    assert rows[1]["contaminated"] == 1 and rows[1]["eval_hit_windows"] == 1
+    assert rows[2]["contaminated"] == 0
+    assert rows[3]["contaminated"] == 0 and rows[3]["n_windows"] == 0
+    assert rows[4]["contaminated"] == 0
+    assert rows[1]["n_windows"] == 3  # 10 tokens → 3 windows of 8
+
+
+def test_decontaminate_counts_multiple_hits(spark):
+    # corpus doc repeats the eval window twice → both windows hit
+    ev = "a b c d e f g h"
+    corpus = spark.createDataFrame(
+        [(1, ev + " " + ev)], "doc_id long, text string"
+    )
+    eval_set = spark.createDataFrame([(9, ev)], "doc_id long, text string")
+    row = decontaminate(corpus, eval_set, n=8).collect()[0]
+    assert row["n_windows"] == 9  # 16 tokens
+    assert row["eval_hit_windows"] == 2  # positions 1 and 9
+    assert row["contaminated"] == 1
+
+
+def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
+    # every token is doc-suffixed so no 8-gram crosses docs; doc 7 equals
+    # the eval text verbatim and is the only contaminated row
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"{w}{i}" for w in "wxyzqrstuv")) for i in range(20)],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(99, " ".join(f"{w}7" for w in "wxyzqrstuv"))], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, decontaminate(corpus, eval_set, broadcast_eval=True).collect()))
+    b = sorted(map(tuple, decontaminate(corpus, eval_set, broadcast_eval=False).collect()))
+    assert a == b
+    assert sum(r[3] for r in a) == 1  # only doc 7 contaminated
+
+
+# ---------------------------------------------------------- gopher repetition
+
+def test_gopher_repetition_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # 2-grams: "a b"×3, "b a"×2; 3-grams ×2 max
+            (2, "unique words only here"),
+            (3, "solo"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition(df, "doc_id", "text").collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 6
+    assert r1["top2gram_bps"] == 3 * 2 * 10000 // 6  # 10000
+    assert r1["top3gram_bps"] == 2 * 3 * 10000 // 6  # 10000
+    assert r1["dup2gram_bps"] == (3 + 2) * 2 * 10000 // 6  # 16666
+    r2 = rows[2]
+    assert r2["top2gram_bps"] == 1 * 2 * 10000 // 4  # max cnt 1, no dups
+    assert r2["dup2gram_bps"] == 0
+    assert rows[3]["top2gram_bps"] == 0 and rows[3]["top3gram_bps"] == 0
+    assert rows[4]["n_tokens"] == 0 and rows[4]["dup2gram_bps"] == 0
+
+
+# ------------------------------------------------------------- aspect buckets
+
+def _argmin_bucket(w: int, h: int) -> int:
+    dists = [(abs(w * bh - h * bw), i) for i, (bw, bh) in enumerate(DEFAULT_BUCKETS)]
+    return min(dists)[1]
+
+
+@pytest.mark.parametrize(
+    "w,h",
+    [(1024, 1024), (512, 2048), (2048, 512), (3, 4), (100, 100), (640, 480), (1920, 1080)],
+)
+def test_aspect_bucket_matches_python_argmin(spark, w, h):
+    df = spark.createDataFrame([(1, w, h)], "image_id long, w long, h long")
+    row = assign_aspect_buckets(df).collect()[0]
+    exp = _argmin_bucket(w, h)
+    assert row["bucket_id"] == exp
+    assert (row["bucket_w"], row["bucket_h"]) == DEFAULT_BUCKETS[exp]
+
+
+def test_aspect_bucket_exact_match_and_stats(spark):
+    df = spark.createDataFrame(
+        [(i, bw, bh) for i, (bw, bh) in enumerate(DEFAULT_BUCKETS)],
+        "image_id long, w long, h long",
+    )
+    assigned = assign_aspect_buckets(df)
+    for r in assigned.collect():
+        assert r["bucket_id"] == r["image_id"]  # every bucket maps to itself
+    stats = {r["bucket_id"]: r for r in bucket_stats(assigned).collect()}
+    assert len(stats) == len(DEFAULT_BUCKETS)
+    assert all(r["n_images"] == 1 for r in stats.values())
+    b0 = DEFAULT_BUCKETS[0]
+    assert stats[0]["total_px"] == b0[0] * b0[1]
+
+
+def test_aspect_bucket_is_pure_codegen(spark):
+    """Plan gate: assignment is column exprs — no join/exchange anywhere."""
+    df = spark.createDataFrame([(1, 640, 480)], "image_id long, w long, h long")
+    plan = assign_aspect_buckets(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
