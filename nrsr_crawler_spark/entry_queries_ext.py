@@ -611,3 +611,43 @@ def s9_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("body").cast("string").alias("body"),
         F.length(F.col("body").cast("string")).alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O5: Scrapy AutoThrottle parity (reference ships it configured-but-
+# commented, settings.py:94-103): per-host delay recurrence
+# delay' = clamp((delay + latency/target_concurrency)/2) folded over the
+# observed latency sequence in integer milliseconds, then epoch budgets
+# ⌊epoch_ms/delay⌋ — the same budget_expr hook the crawl-delay path uses.
+@query(
+    "o5_autothrottle",
+    """
+    WITH lat AS (
+        SELECT 'h' || CAST(o_custkey % 6 AS VARCHAR) || '.nrsr.sk' AS host,
+               o_orderkey AS epoch,
+               CAST(50 + o_orderkey % 3000 AS BIGINT) AS latency_ms
+        FROM orders
+    ),
+    agg AS (SELECT host, list(latency_ms ORDER BY epoch) AS lats FROM lat GROUP BY host),
+    d AS (
+        SELECT host,
+               list_reduce(
+                   list_prepend(CAST(5000 AS BIGINT), lats),
+                   (acc, x) -> GREATEST(2500, LEAST(60000, (acc + (x * 1000) // 1000) // 2))
+               ) AS delay_ms
+        FROM agg
+    )
+    SELECT host, delay_ms, GREATEST(1, 60000 // delay_ms) AS budget FROM d
+    """,
+)
+def o5_autothrottle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators import politeness
+
+    lat = load(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), F.col("o_custkey") % 6, F.lit(".nrsr.sk")).alias("host"),
+        F.col("o_orderkey").alias("epoch"),
+        (F.lit(50) + F.col("o_orderkey") % 3000).cast("long").alias("latency_ms"),
+    )
+    delays = politeness.autothrottle_delays(lat)
+    budgets = politeness.autothrottle_budgets(delays, epoch_ms=60000)
+    return delays.join(budgets, "host").select("host", "delay_ms", "budget")

@@ -1276,3 +1276,37 @@ def images_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_aspect_buckets(dims).select(
         "image_id", "w", "h", "bucket_id", "bucket_w", "bucket_h"
     )
+
+
+# Context-window sequence packing: per-doc token span inside fixed 64-token
+# training sequences, packed per source stream (window partitioned by
+# source — never a global single-task window).
+@query(
+    "train_seq_packing",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    off AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           start_offset // 64 AS start_seq,
+           CASE WHEN n_tokens = 0 THEN start_offset // 64
+                ELSE (start_offset + n_tokens - 1) // 64 END AS end_seq,
+           CASE WHEN n_tokens = 0 THEN start_offset // 64
+                ELSE (start_offset + n_tokens - 1) // 64 END - start_offset // 64 AS n_splits
+    FROM off
+    """,
+)
+def train_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.packing import seq_packing
+
+    return seq_packing(load(spark, sf_dir, "documents"), seq_len=64)

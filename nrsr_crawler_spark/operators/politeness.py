@@ -76,6 +76,79 @@ def pop_budget(
     )
 
 
+def autothrottle_delays(
+    latencies: DataFrame,
+    host_col: str = "host",
+    order_col: str = "epoch",
+    latency_col: str = "latency_ms",
+    start_delay_ms: int = 5000,
+    min_delay_ms: int = 2500,
+    max_delay_ms: int = 60000,
+    target_concurrency_milli: int = 1000,
+) -> DataFrame:
+    """Scrapy AutoThrottle recurrence per host → final download delay.
+
+    The reference ships AutoThrottle configured-but-commented
+    (/root/reference/nrsr/settings.py:94-103: START_DELAY=5, MAX_DELAY=60,
+    TARGET_CONCURRENCY=1.0) — like robots.txt, the engine implements the
+    capability; the reference-parity default is simply "off".  Scrapy's
+    update rule per observed response (autothrottle.py in Scrapy 1.5):
+
+        target = latency / target_concurrency
+        delay' = clamp((delay + target) / 2, min_delay, max_delay)
+
+    reproduced here in integer milliseconds (``target_concurrency`` scaled
+    by 1000) so the DuckDB oracle is hash-exact: ``target = lat_ms·1000 //
+    tc_milli``; ``delay' = greatest(min, least(max, (delay + target) // 2))``.
+
+    Scale shape: one partial-aggregated groupBy on ``host_col`` collecting
+    the (order, latency) sequence, then a per-host ``F.aggregate`` fold —
+    the sequence recurrence is inherently ordered, so it folds INSIDE the
+    row (array), never as a cross-row window; per-host state is bounded by
+    observations/host per throttle window (cap upstream with a recent-epoch
+    filter at petabyte scale).
+    """
+    lats = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(latency_col).alias("l")))
+    )
+    def fold(acc, x):
+        # target = lat·1000 // tc_milli; delay' = clamp((acc + target) // 2)
+        # (all values < 2^27, so the double-division round-trips are exact)
+        target = (x * 1000 / F.lit(target_concurrency_milli)).cast("long")
+        return F.greatest(
+            F.lit(min_delay_ms).cast("long"),
+            F.least(
+                F.lit(max_delay_ms).cast("long"),
+                ((acc + target) / 2).cast("long"),
+            ),
+        )
+    return (
+        latencies.groupBy(host_col)
+        .agg(lats.alias("__lats"))
+        .select(
+            F.col(host_col),
+            F.aggregate(
+                F.transform(F.col("__lats"), lambda s: s.getField("l").cast("long")),
+                F.lit(start_delay_ms).cast("long"),
+                fold,
+            ).alias("delay_ms"),
+        )
+    )
+
+
+def autothrottle_budgets(delays: DataFrame, epoch_ms: int) -> DataFrame:
+    """(host, delay_ms) → (host, budget): fetches a host absorbs per epoch
+    window under its throttled delay — ⌊epoch_ms/delay⌋, floor 1 (same
+    shape as robots.crawl_delay_budgets; feed the collected dict into
+    ``robots.budget_expr`` / ``CrawlEngine(host_budgets=...)``)."""
+    return delays.select(
+        "host",
+        F.greatest(
+            F.lit(1).cast("long"), (F.lit(epoch_ms) / F.col("delay_ms")).cast("long")
+        ).alias("budget"),
+    )
+
+
 def pop_budget_slim(
     frontier: DataFrame,
     budget: int | Column,

@@ -130,6 +130,7 @@ class CrawlEngine:
         trap_max_urls: int | None = None,
         trap_penalty: int = 1_000_000,
         epoch_seconds: float | None = None,
+        host_budgets: dict[str, int] | None = None,
         max_retries: int = retry_ops.DEFAULT_MAX_RETRIES,
         retry_priority_adjust: int = retry_ops.DEFAULT_PRIORITY_ADJUST,
     ):
@@ -167,14 +168,24 @@ class CrawlEngine:
         # delay δ absorbs ⌊epoch_seconds/δ⌋ serialized fetches per epoch.
         # Compiled once into a when-chain budget column; None ⇒ flat budget.
         self._budget_expr = None
+        per_host: dict[str, int] = {}
         if epoch_seconds is not None and self.robots_rules:
-            per_host = robots.crawl_delay_budgets(
-                self.robots_rules, epoch_seconds, budget_per_host
-            )
-            if per_host:
-                self._budget_expr = robots.budget_expr(
-                    per_host, budget_per_host, F.col("host")
+            per_host.update(
+                robots.crawl_delay_budgets(
+                    self.robots_rules, epoch_seconds, budget_per_host
                 )
+            )
+        # explicit per-host budget overrides (e.g. the collected output of
+        # politeness.autothrottle_budgets — Scrapy AutoThrottle parity,
+        # /root/reference/nrsr/settings.py:94-103): take precedence over
+        # Crawl-delay-derived budgets, bounded driver-side state (O(hosts),
+        # same footprint as Scrapy's per-slot delay dict)
+        if host_budgets:
+            per_host.update(host_budgets)
+        if per_host:
+            self._budget_expr = robots.budget_expr(
+                per_host, budget_per_host, F.col("host")
+            )
         if seq_parent_bits + seq_child_bits > _SEQ_EPOCH_SHIFT:
             raise ValueError(
                 f"seq_parent_bits + seq_child_bits must fit below the epoch "
