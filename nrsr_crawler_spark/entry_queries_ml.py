@@ -1310,3 +1310,53 @@ def train_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nrsr_crawler_spark.operators.packing import seq_packing
 
     return seq_packing(load(spark, sf_dir, "documents"), seq_len=64)
+
+
+# PII scrub (pre-training redaction): per-doc email/phone/IPv4 counts +
+# redacted-text fingerprint over contact blurbs synthesized from customer
+# rows (the documents fixture carries no PII, so the PII-bearing text is
+# derived identically in both engines).
+@query(
+    "text_pii_scrub",
+    """
+    WITH blurbs AS (
+        SELECT c_custkey AS doc_id,
+               c_name || ' reach ' || lower(replace(c_name, ' ', '.')) ||
+               '@nrsr.sk tel ' ||
+               printf('%02d-%03d-%03d-%04d', c_custkey % 90 + 10,
+                      c_custkey % 900 + 100, c_nationkey % 900 + 100,
+                      c_custkey % 9000 + 1000) ||
+               ' backup ip 10.' || CAST(c_custkey % 256 AS VARCHAR) ||
+               '.0.1 ' || c_mktsegment AS text
+        FROM customer
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4s,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_fingerprint
+    FROM blurbs
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blurbs = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.col("c_name"), F.lit(" reach "),
+            F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+            F.lit("@nrsr.sk tel "),
+            F.format_string(
+                "%02d-%03d-%03d-%04d",
+                F.col("c_custkey") % 90 + 10,
+                F.col("c_custkey") % 900 + 100,
+                F.col("c_nationkey") % 900 + 100,
+                F.col("c_custkey") % 9000 + 1000,
+            ),
+            F.lit(" backup ip 10."), (F.col("c_custkey") % 256).cast("string"),
+            F.lit(".0.1 "), F.col("c_mktsegment"),
+        ).alias("text"),
+    )
+    return T.pii_scrub(blurbs, "doc_id", "text")

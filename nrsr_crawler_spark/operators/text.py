@@ -93,6 +93,36 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
 
+# PII patterns kept to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): explicit classes + bounded repetition, no
+# backrefs/lookaround.  Redaction order matters for overlaps and is fixed:
+# email → phone → ipv4.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phones", r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ipv4s", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction signals (pre-training scrub stage): per-doc match
+    counts per PII class (counted on the ORIGINAL text, independently per
+    class) plus the md5 fingerprint of the fully redacted text — enough for
+    a downstream policy (drop / keep-redacted) without shipping raw PII.
+
+    Pure codegen column expressions (regexp_count / chained
+    regexp_replace) — linear scan, no shuffle, no UDF."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _tok in PII_PATTERNS
+    ]
+    red = t
+    for _name, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    return df.select(F.col(id_col), *counts, F.md5(red).alias("redacted_fingerprint"))
+
+
 def _ngram_counts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id_col, gram, cnt) — per-doc n-gram occurrence counts (gram kept as
     the raw space-joined string: counts are per-doc, so volume is bounded by

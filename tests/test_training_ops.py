@@ -135,3 +135,30 @@ def test_aspect_bucket_is_pure_codegen(spark):
     plan = assign_aspect_buckets(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------- pii scrub
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from nrsr_crawler_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.org and c.d@y.co.uk tel 12-345-678-9012 ip 10.1.2.3"),
+            (2, "nothing sensitive here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ipv4s"]) == (2, 1, 1)
+    assert (rows[2]["n_emails"], rows[2]["n_phones"], rows[2]["n_ipv4s"]) == (0, 0, 0)
+    # redaction is total: fingerprint equals md5 of the hand-redacted text
+    import hashlib
+    exp = hashlib.md5(
+        b"mail <EMAIL> and <EMAIL> tel <PHONE> ip <IP>"
+    ).hexdigest()
+    assert rows[1]["redacted_fingerprint"] == exp
+    # clean text round-trips unchanged
+    exp2 = hashlib.md5(b"nothing sensitive here").hexdigest()
+    assert rows[2]["redacted_fingerprint"] == exp2
