@@ -131,6 +131,7 @@ class CrawlEngine:
         trap_penalty: int = 1_000_000,
         epoch_seconds: float | None = None,
         host_budgets: dict[str, int] | None = None,
+        meta_robots: bool = False,
         max_retries: int = retry_ops.DEFAULT_MAX_RETRIES,
         retry_priority_adjust: int = retry_ops.DEFAULT_PRIORITY_ADJUST,
     ):
@@ -162,6 +163,12 @@ class CrawlEngine:
         # stored 8-byte tpl_hash — no strings at schedule time.
         self.trap_max_urls = trap_max_urls
         self.trap_penalty = trap_penalty
+        # page-level robots directives (<meta name="robots">): nofollow
+        # pages contribute no children, noindex pages contribute no items.
+        # Default OFF = reference parity (Scrapy 1.5 ignores meta robots
+        # unless an extension handles it); when off the hot loop pays
+        # nothing — the gate columns are never computed.
+        self.meta_robots = meta_robots
         self._priority_boosts: DataFrame | None = None
         # robots Crawl-delay → per-host pop budgets (operators/robots.py):
         # with an epoch wall-clock window of epoch_seconds, a host declaring
@@ -888,10 +895,30 @@ class CrawlEngine:
             # attempts never reach the log, so they stay pending
             fetched = fetched_raw.filter(~F.col("__transient"))
 
+            # meta-robots gate (one JVM regexp per body, only when enabled):
+            # nofollow pages feed no children, noindex pages feed no items
+            if self.meta_robots:
+                directives = F.lower(
+                    F.regexp_extract(
+                        F.col("body").cast("string"),
+                        r'<meta[^>]*name="robots"[^>]*content="([^"]*)"',
+                        1,
+                    )
+                )
+                fetched = fetched.withColumn("__meta_robots", directives)
+                child_src = fetched.filter(
+                    ~F.col("__meta_robots").contains("nofollow")
+                )
+                item_src = fetched.filter(
+                    ~F.col("__meta_robots").contains("noindex")
+                )
+            else:
+                child_src = item_src = fetched
+
             # children: resolve reference-style (absolute pass-through, else
             # BASE_URL concat — members.py:76), canon+hash+robots at schedule time
             edges = U.with_canon(
-                parse_ops.extract_children(fetched, rank_col="grk").withColumn(
+                parse_ops.extract_children(child_src, rank_col="grk").withColumn(
                     "url",
                     F.when(
                         F.col("href").startswith("http://") | F.col("href").startswith("https://"),
@@ -931,7 +958,7 @@ class CrawlEngine:
                 new = cand.join(seen, "url_hash", "left_anti")
             new_delta = self._finish_frontier_cols(new)
 
-            items = parse_ops.extract_items(fetched)
+            items = parse_ops.extract_items(item_src)
 
             # all per-epoch delta writes are INDEPENDENT Spark jobs over
             # already-persisted inputs — submit them concurrently (threaded
@@ -973,9 +1000,9 @@ class CrawlEngine:
                 # fan-out and lets empty dialects skip their write job.
                 kind_counts = {
                     r["__kind"]: r["n"]
-                    for r in fetched.groupBy("__kind").agg(F.count(F.lit(1)).alias("n")).collect()
+                    for r in item_src.groupBy("__kind").agg(F.count(F.lit(1)).alias("n")).collect()
                 }
-                typed_pages = fetched.select(
+                typed_pages = item_src.select(
                     F.col("canon_url").alias("page_url"), "body", "__kind"
                 )
                 for kind, (item_type, extract_fn, fold_fn) in PT.TYPED_SINKS.items():
