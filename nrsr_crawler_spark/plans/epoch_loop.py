@@ -132,6 +132,7 @@ class CrawlEngine:
         epoch_seconds: float | None = None,
         host_budgets: dict[str, int] | None = None,
         meta_robots: bool = False,
+        age_priority_every: int | None = None,
         max_retries: int = retry_ops.DEFAULT_MAX_RETRIES,
         retry_priority_adjust: int = retry_ops.DEFAULT_PRIORITY_ADJUST,
     ):
@@ -169,6 +170,15 @@ class CrawlEngine:
         # unless an extension handles it); when off the hot loop pays
         # nothing — the gate columns are never computed.
         self.meta_robots = meta_robots
+        # frontier priority aging (anti-starvation, standard in production
+        # crawlers): a pending URL gains +1 priority per ``age_priority_every``
+        # epochs waited.  Age derives from the epoch bits already packed in
+        # ``seq`` (enqueue epoch = seq >> _SEQ_EPOCH_SHIFT), so the aging
+        # term is a pure map-side expression over columns ALREADY in the
+        # slim pop exchange — zero extra state, joins, or shuffled bytes.
+        # None (default) = reference parity: pure priority-then-LIFO, where
+        # a hot branch can starve old discoveries indefinitely.
+        self.age_priority_every = age_priority_every
         self._priority_boosts: DataFrame | None = None
         # robots Crawl-delay → per-host pop budgets (operators/robots.py):
         # with an epoch wall-clock window of epoch_seconds, a host declaring
@@ -795,6 +805,14 @@ class CrawlEngine:
             # ``seq`` is unique by construction (packed lineage) and the
             # fingerprint tiebreak covers any future non-unique seq source.
             to_pop = pending
+            if self.age_priority_every:
+                to_pop = to_pop.withColumn(
+                    "priority",
+                    F.expr(
+                        f"priority + (({epoch} - (seq >> {_SEQ_EPOCH_SHIFT})) "
+                        f"div {self.age_priority_every})"
+                    ),
+                )
             if self._priority_boosts is not None:
                 # rank-informed crawl ordering (operators/linkrank.py):
                 # additive per-URL boost joined on the 8-byte fingerprint —
