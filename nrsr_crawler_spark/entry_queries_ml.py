@@ -354,6 +354,47 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_block_dedup",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / 10.0) AS INT)
+               END AS nb
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(tk[(i-1)*10+1 : (i-1)*10+10], ' ') AS block
+        FROM toks, UNNEST(CASE WHEN nb > 0 THEN range(1, nb + 1) ELSE [] END) AS u(i)
+    ),
+    tagged AS (
+        SELECT doc_id, pos, block,
+               ROW_NUMBER() OVER (PARTITION BY md5(block) ORDER BY doc_id, pos) = 1 AS kept
+        FROM blocks
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_blocks,
+               SUM(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS removed_blocks,
+               COALESCE(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '') AS clean_text
+        FROM tagged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_blocks, 0) AS n_blocks,
+           COALESCE(removed_blocks, 0) AS removed_blocks,
+           COALESCE(clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def text_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level duplicate-span removal: global
+    first-occurrence-wins over disjoint 10-token blocks, rebuilt clean text
+    per document (the cleaning counterpart of ``text_substring_dedup``)."""
+    return T.remove_duplicate_blocks(load(spark, sf_dir, "documents"), "doc_id", "text", k=10)
+
+
+@query(
     "text_token_counts",
     """
     SELECT doc_id,

@@ -243,3 +243,74 @@ def duplicated_span_stats(
             .alias("dup_bps"),
         )
     )
+
+
+def remove_duplicate_blocks(
+    df: DataFrame, id_col: str, text_col: str, k: int = 10
+) -> DataFrame:
+    """C4-style corpus-level duplicate-span REMOVAL (Raffel et al.,
+    arXiv:1910.10683 §2.2: "we discarded all but one of any three-sentence
+    span occurring more than once in the data set") — the cleaning
+    counterpart of :func:`duplicated_span_stats`, which only measures.
+
+    Spans here are DISJOINT ``k``-token blocks (the synthetic corpus has no
+    sentence boundaries; disjoint blocks are the standard token-level
+    restatement and guarantee each token belongs to exactly one span, so
+    removal never double-deletes).  Global first-occurrence-wins: for every
+    block content (md5 key) the single occurrence with the smallest
+    ``(doc id, block position)`` is kept; every other occurrence — including
+    repeats INSIDE one document — is deleted.  Emits the rebuilt document.
+
+    Output: ``(id, n_blocks, removed_blocks, clean_text)``.
+
+    Scale shape (100 TB): the block explode is ~|tokens|/k rows per doc
+    (k× lighter than the sliding-window stats operator); blocks shuffle once
+    as fixed-width md5 keys (well mixed, no skew), the global winner per key
+    is one partial-aggregated ``min(struct(id, pos))`` groupBy, and the doc
+    rebuild is a second groupBy on the doc id whose ``collect_list`` is
+    bounded by the document's own length.  No all-pairs product, no window
+    over the corpus, no UDF — three linear passes.
+    """
+    tk = tokens(F.col(text_col))
+    n_blocks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.ceil(F.size(tk) / F.lit(k)).cast("int"))
+    blocks_arr = F.when(
+        n_blocks > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_blocks),
+            lambda i: F.array_join(F.slice(tk, (i - 1) * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = df.select(F.col(id_col), F.posexplode(blocks_arr).alias("pos", "block")).withColumn(
+        "bkey", F.md5("block")
+    )
+    winners = b.groupBy("bkey").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("w")
+    )
+    tagged = b.join(winners, "bkey").withColumn(
+        "kept", (F.col(id_col) == F.col("w.i")) & (F.col("pos") == F.col("w.p"))
+    )
+    per_doc = tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("removed_blocks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("pos", "block")))
+                ),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+            F.coalesce("removed_blocks", F.lit(0)).cast("long").alias("removed_blocks"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

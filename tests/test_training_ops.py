@@ -162,3 +162,52 @@ def test_pii_scrub_counts_and_redaction(spark):
     # clean text round-trips unchanged
     exp2 = hashlib.md5(b"nothing sensitive here").hexdigest()
     assert rows[2]["redacted_fingerprint"] == exp2
+
+
+# -- C4-style corpus-level duplicate-block removal ---------------------------
+
+
+def test_remove_duplicate_blocks_first_occurrence_wins(spark):
+    from nrsr_crawler_spark.operators.text import remove_duplicate_blocks
+
+    # k=3 blocks.  doc 1: [a b c][d e f]; doc 2 repeats [a b c] then a unique
+    # block; doc 3 repeats its own first block INSIDE the doc.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "p q r p q r"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_blocks(df, "doc_id", "text", k=3).collect()
+    }
+    # doc 1 owns the global first occurrence of [a b c]: untouched
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert out[1]["n_blocks"] == 2 and out[1]["removed_blocks"] == 0
+    # doc 2 loses the repeated span but keeps its unique tail, order preserved
+    assert out[2]["clean_text"] == "x y z"
+    assert out[2]["removed_blocks"] == 1
+    # in-document repeat: second copy removed too
+    assert out[3]["clean_text"] == "p q r"
+    assert out[3]["removed_blocks"] == 1
+    # empty doc: zero blocks, empty rebuilt text
+    assert out[4]["n_blocks"] == 0 and out[4]["clean_text"] == ""
+
+
+def test_remove_duplicate_blocks_partial_tail_block(spark):
+    from nrsr_crawler_spark.operators.text import remove_duplicate_blocks
+
+    # 4 tokens at k=3 -> blocks [a b c][d]; the short tail is its own span
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "d")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_blocks(df, "doc_id", "text", k=3).collect()
+    }
+    assert out[1]["n_blocks"] == 2 and out[1]["removed_blocks"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["removed_blocks"] == 1
