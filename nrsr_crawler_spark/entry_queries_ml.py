@@ -269,6 +269,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < 8),
+    ad AS (SELECT v.vec_id, c.cid,
+                  list_dot_product(v.qv, v.qv) - 2 * list_dot_product(v.qv, c.cv)
+                      + list_dot_product(c.cv, c.cv) AS d
+           FROM v CROSS JOIN c),
+    cell AS (SELECT vec_id, cid AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                 FROM ad) WHERE rn = 1),
+    edges AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM cell a JOIN cell b USING (cell)
+              JOIN v va ON va.vec_id = a.vec_id
+              JOIN v vb ON vb.vec_id = b.vec_id
+              WHERE a.vec_id < b.vec_id
+                AND ROUND(list_dot_product(va.e, vb.e)
+                          / (SQRT(list_dot_product(va.e, va.e))
+                             * SQRT(list_dot_product(vb.e, vb.e))), 6) >= 0.9),
+    dups AS (SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM edges GROUP BY id_b)
+    SELECT cell.vec_id, cell.cell, dups.dup_of, dups.dup_of IS NULL AS kept
+    FROM cell LEFT JOIN dups USING (vec_id)
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: coarse-quantizer clustering + within-cluster
+    rounded-cosine keep-one (min-id), cluster partition oracle-exact via
+    integer-L2 cell assignment (same codebook stand-in as ``ann_ivf_topk``)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, n_centroids=8, threshold=0.9)
+
+
+@query(
     "text_quality",
     """
     WITH toks AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)

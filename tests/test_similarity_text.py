@@ -199,3 +199,48 @@ def test_lsh_near_dup_hot_bucket_cap(spark):
     assert capped.count() == 0
     uncapped = SIM.lsh_near_dup_pairs(emb, dim=8, threshold=0.9, bits=4, tables=2)
     assert uncapped.count() == 30 * 29 // 2
+
+
+# -- SemDeDup semantic dedup --------------------------------------------------
+
+
+def test_semantic_dedup_hand_built_clusters(spark):
+    from nrsr_crawler_spark.operators.similarity import semantic_dedup
+
+    # centroids = ids < 2: vec0=[1,0] (cell 0), vec1=[0,1] (cell 1).
+    # vec2/vec3 point almost exactly along vec0 -> cell 0, both semantic
+    # dups of vec0 (min-id keep).  vec4 == vec1 -> dup of 1.  vec5 lands in
+    # cell 0 but at cosine ~0.75 to everything there -> kept.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.01]),
+        (3, [1.0, 0.011]),
+        (4, [0.0, 1.0]),
+        (5, [0.8, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, n_centroids=2, threshold=0.95).collect()
+    }
+    assert len(out) == 6
+    assert out[0]["kept"] and out[0]["cell"] == 0
+    assert out[1]["kept"] and out[1]["cell"] == 1
+    assert out[2]["dup_of"] == 0 and not out[2]["kept"]
+    assert out[3]["dup_of"] == 0
+    assert out[4]["dup_of"] == 1 and out[4]["cell"] == 1
+    assert out[5]["kept"] and out[5]["cell"] == 0
+
+
+def test_semantic_dedup_max_cell_drops_degenerate_cell(spark):
+    from nrsr_crawler_spark.operators.similarity import semantic_dedup
+
+    # 5 identical vectors pile into one cell; with max_cell=3 the cell is
+    # excluded from the pair join, so nothing is marked dup — but every
+    # vector still appears in the output with its cell id.
+    rows = [(i, [1.0, 0.0]) for i in range(5)] + [(9, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_centroids=2, threshold=0.95, max_cell=3).collect()
+    assert len(out) == 6
+    assert all(r["kept"] for r in out)
