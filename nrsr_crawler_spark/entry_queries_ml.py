@@ -1436,3 +1436,38 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return T.pii_scrub(blurbs, "doc_id", "text")
+
+
+# -- bucketed seen-store probe (storage-layout regime, lake/bucketed.py) -----
+#
+# The Spark side persists both sides bucketBy(8, event_id) into a catalog
+# database (the Iceberg bucket(N, key) transform stand-in) and runs the
+# co-located LEFT ANTI probe — zero Exchange, plan-gated in
+# tests/test_bucketed_store.py.  The oracle states the same anti-join
+# relationally; values must match regardless of layout.
+
+
+@query(
+    "bucketed_seen_probe",
+    """
+    SELECT event_id, event_type, user_id
+    FROM events
+    WHERE event_id NOT IN (
+        SELECT event_id FROM events WHERE event_type IN ('click', 'view')
+    )
+    """,
+)
+def bucketed_seen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.lake.bucketed import (
+        bucketed_anti_join,
+        ensure_db,
+        write_bucketed,
+    )
+
+    ensure_db(spark, "bucketq", "/tmp/nrsr_bucketq_lake")
+    ev = load(spark, sf_dir, "events")
+    seen = ev.filter(F.col("event_type").isin("click", "view")).select("event_id")
+    cand = ev.select("event_id", "event_type", "user_id")
+    write_bucketed(seen, "bucketq.seen_ev", 8, key="event_id")
+    write_bucketed(cand, "bucketq.cand_ev", 8, key="event_id")
+    return bucketed_anti_join(spark, "bucketq.cand_ev", "bucketq.seen_ev", key="event_id")
