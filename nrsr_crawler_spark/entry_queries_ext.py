@@ -651,3 +651,81 @@ def o5_autothrottle(spark: SparkSession, sf_dir: str) -> DataFrame:
     delays = politeness.autothrottle_delays(lat)
     budgets = politeness.autothrottle_budgets(delays, epoch_ms=60000)
     return delays.join(budgets, "host").select("host", "delay_ms", "budget")
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text rollup: HTML pages are BUILT from orders rows (customer pages
+# listing order links, plus two "hot list" pages that re-link every 7th
+# order — once under a different anchor string, once under the normal one),
+# then parsed back by the JVM regexp kernel and aggregated per TARGET.  The
+# oracle derives the expected rollup relationally — a hash match certifies
+# extraction, the frequency-then-lexicographic top-text rule, and both
+# aggregation levels.  Hot targets get in_degree 3 with the normal text
+# winning 2-1 over the lexicographically-smaller 'HOT-…' string, so the
+# frequency ordering is genuinely exercised.
+
+
+@query(
+    "anchor_text_rollup",
+    """
+    WITH l AS (SELECT o_orderkey AS okey, o_orderstatus AS st
+               FROM orders WHERE o_orderkey <= 4000),
+    occ AS (
+        SELECT okey, 'O' || okey || '-' || st AS text FROM l
+        UNION ALL
+        SELECT okey, 'HOT-' || okey FROM l WHERE okey % 7 = 0
+        UNION ALL
+        SELECT okey, 'O' || okey || '-' || st FROM l WHERE okey % 7 = 0
+    ),
+    per_text AS (SELECT okey, text, COUNT(*) AS cnt FROM occ GROUP BY okey, text),
+    top AS (SELECT okey, text FROM (
+                SELECT *, row_number() OVER (PARTITION BY okey ORDER BY cnt DESC, text) AS rn
+                FROM per_text) WHERE rn = 1),
+    agg AS (SELECT okey, CAST(SUM(cnt) AS BIGINT) AS in_degree, COUNT(*) AS n_texts
+            FROM per_text GROUP BY okey)
+    SELECT 'https://www.nrsr.sk/web/order/' || agg.okey AS target_url,
+           in_degree, n_texts, top.text AS top_text
+    FROM agg JOIN top USING (okey)
+    """,
+)
+def anchor_text_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.linkrank import anchor_text_rollup
+
+    ords = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
+    okey = F.col("o_orderkey").cast("string")
+    target = F.concat(F.lit("https://www.nrsr.sk/web/order/"), okey)
+    normal = F.concat(F.lit("O"), okey, F.lit("-"), F.col("o_orderstatus"))
+
+    def link(text):
+        return F.concat(F.lit('<a href="'), target, F.lit('">'), text, F.lit("</a>"))
+
+    def assemble(grouped):
+        return F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["l"]), ""
+        ).alias("html")
+
+    cust_pages = (
+        ords.select(
+            F.col("o_custkey"),
+            F.struct(F.col("o_orderkey").alias("k"), link(normal).alias("l")).alias("s"),
+        )
+        .groupBy("o_custkey")
+        .agg(assemble(None))
+        .select(
+            F.concat(F.lit("https://www.nrsr.sk/web/cust/"), F.col("o_custkey").cast("string")).alias("page_url"),
+            "html",
+        )
+    )
+    hot = ords.filter(F.col("o_orderkey") % 7 == 0)
+
+    def hot_page(name, text):
+        return (
+            hot.select(F.struct(F.col("o_orderkey").alias("k"), link(text).alias("l")).alias("s"))
+            .agg(assemble(None))
+            .select(F.lit(f"https://www.nrsr.sk/web/{name}").alias("page_url"), "html")
+        )
+
+    pages = cust_pages.unionByName(
+        hot_page("hot", F.concat(F.lit("HOT-"), okey))
+    ).unionByName(hot_page("hot2", normal))
+    return anchor_text_rollup(pages, "page_url", "html")

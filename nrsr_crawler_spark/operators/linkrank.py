@@ -37,7 +37,7 @@ table is persisted and the previous one unpersisted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -96,3 +96,47 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3) -> DataFrame:
     for cached in (e, out_deg, nodes):
         cached.unpersist()
     return r
+
+
+ANCHOR_RE = r'<a href="([^"]*)">([^<]*)</a>'
+
+
+def anchor_text_rollup(pages: DataFrame, url_col: str, html_col: str) -> DataFrame:
+    """Per-TARGET anchor-text aggregation over raw HTML pages — the classic
+    web-corpus operator (anchor text is both a ranking signal and training
+    text for the target document; cf. Brin & Page 1998 §2.2, MS MARCO/ORCAS
+    anchor corpora).  The reference crawler never aggregates across pages;
+    this is the cross-page rollup a 10^10-URL corpus needs.
+
+    For every link target: ``in_degree`` (total incoming links),
+    ``n_texts`` (distinct anchor strings), and ``top_text`` — the most
+    FREQUENT anchor string, ties broken lexicographically (deterministic,
+    oracle-exact).
+
+    Scale shape (100 TB of HTML): link extraction is a JVM
+    ``regexp_extract_all`` scan (codegen, no UDF, linear); the explode is
+    bounded by links-per-page; aggregation happens in two partial-combined
+    groupBys keyed on (target, text) then (target) — both well-mixed URL
+    keys, no skew beyond genuinely popular targets, which a ``max_df``-style
+    cap could demote if needed.  The raw page HTML never shuffles — only
+    (href, text) pairs.
+    """
+    m = pages.select(
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), F.lit(0))
+        ).alias("m")
+    ).select(
+        F.regexp_extract("m", ANCHOR_RE, 1).alias("target_url"),
+        F.regexp_extract("m", ANCHOR_RE, 2).alias("text"),
+    )
+    per_text = m.groupBy("target_url", "text").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("target_url").orderBy(F.col("cnt").desc(), F.col("text"))
+    return (
+        per_text.withColumn("rn", F.row_number().over(w))
+        .groupBy("target_url")
+        .agg(
+            F.sum("cnt").alias("in_degree"),
+            F.count(F.lit(1)).alias("n_texts"),
+            F.max(F.when(F.col("rn") == 1, F.col("text"))).alias("top_text"),
+        )
+    )

@@ -46,3 +46,36 @@ def test_pagerank_mass_conservation_bound(spark):
     n = len(out)
     assert mass <= SCALE
     assert mass >= SCALE - 10 * n * 3  # ≤ ~10 units lost per node-iteration
+
+
+# -- anchor-text rollup -------------------------------------------------------
+
+
+def test_anchor_text_rollup_frequency_beats_lexicographic(spark):
+    from nrsr_crawler_spark.operators.linkrank import anchor_text_rollup
+
+    pages = spark.createDataFrame(
+        [
+            ("p1", '<a href="t">zebra</a><a href="t">zebra</a><a href="u">only</a>'),
+            ("p2", '<a href="t">aardvark</a>junk no links here'),
+            ("p3", "no links at all"),
+        ],
+        "page_url string, html string",
+    )
+    out = {r["target_url"]: r for r in anchor_text_rollup(pages, "page_url", "html").collect()}
+    # target t: zebra×2 beats lexicographically-smaller aardvark×1
+    assert out["t"]["in_degree"] == 3 and out["t"]["n_texts"] == 2
+    assert out["t"]["top_text"] == "zebra"
+    assert out["u"]["in_degree"] == 1 and out["u"]["top_text"] == "only"
+    assert set(out) == {"t", "u"}
+
+
+def test_anchor_text_rollup_tie_breaks_lexicographic(spark):
+    from nrsr_crawler_spark.operators.linkrank import anchor_text_rollup
+
+    pages = spark.createDataFrame(
+        [("p", '<a href="t">bbb</a><a href="t">aaa</a>')],
+        "page_url string, html string",
+    )
+    (row,) = anchor_text_rollup(pages, "page_url", "html").collect()
+    assert row["top_text"] == "aaa" and row["n_texts"] == 2
