@@ -1471,3 +1471,31 @@ def bucketed_seen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed(seen, "bucketq.seen_ev", 8, key="event_id")
     write_bucketed(cand, "bucketq.cand_ev", 8, key="event_id")
     return bucketed_anti_join(spark, "bucketq.cand_ev", "bucketq.seen_ev", key="event_id")
+
+
+# -- temperature-smoothed mixture sampling (sampling.py) ----------------------
+
+
+@query(
+    "mixture_temperature_sample",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),
+    w AS (SELECT lang, CAST(round(sqrt(n_stratum) * 1000000) AS BIGINT) AS w FROM c),
+    t AS (SELECT SUM(w) AS tot FROM w),
+    q AS (SELECT lang, (200 * w) // tot AS quota FROM w, t),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS pick_rank
+          FROM documents)
+    SELECT doc_id, lang, pick_rank, quota
+    FROM r JOIN q USING (lang) WHERE pick_rank <= quota
+    """,
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (T=2) language-mixture sample over documents:
+    skewed language counts are rebalanced by sqrt weights, picks ordered by
+    md5(doc_id) — quotas and picks both oracle-exact."""
+    from nrsr_crawler_spark.operators.sampling import temperature_mixture_sample
+
+    return temperature_mixture_sample(
+        load(spark, sf_dir, "documents"), "doc_id", "lang", n_total=200
+    )

@@ -49,3 +49,57 @@ def stratified_topk(
         .filter(F.col(rank_col) <= k)
         .drop("__salt", "__r1")
     )
+
+
+def temperature_quotas(
+    df: DataFrame, strata_col: str, n_total: int, weight_scale: int = 1_000_000
+) -> DataFrame:
+    """Per-stratum quotas for temperature-smoothed mixture sampling
+    (multilingual-pretraining upsampling à la XLM-R / mC4: stratum s with
+    count c_s gets share ∝ c_s^(1/T)).  T is fixed at 2 — the weight is
+    ``round(sqrt(c_s)·scale)`` — because IEEE sqrt is correctly rounded and
+    therefore bit-identical in any engine, which keeps the quota table (and
+    every downstream pick) DuckDB-oracle-exact; arbitrary T needs ``pow``,
+    whose last-ulp behavior is engine-specific.  Quota = ⌊n_total·w_s/Σw⌋
+    (truncation under-allocates ≤|strata| rows — documented, deterministic).
+
+    Scale shape: one partial-aggregated count per stratum (|strata| rows),
+    a 1-row total, both broadcastable — model state, not data."""
+    cnts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_stratum"))
+    weighted = cnts.withColumn(
+        "w", F.round(F.sqrt(F.col("n_stratum")) * weight_scale).cast("long")
+    )
+    tot = weighted.agg(F.sum("w").alias("tot"))
+    return weighted.crossJoin(tot).select(
+        strata_col,
+        "n_stratum",
+        F.expr(f"({n_total} * w) div tot").alias("quota"),
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame, id_col: str, strata_col: str, n_total: int
+) -> DataFrame:
+    """Draw the temperature-smoothed training mixture: within each stratum
+    documents are ordered by ``md5(id)`` (deterministic pseudo-randomness —
+    reproducible run-over-run and engine-over-engine) and the first
+    ``quota`` are kept.  Output: ``(id, stratum, pick_rank, quota)``.
+
+    Scale shape: ranking reuses :func:`stratified_topk`'s two-level salted
+    window (no single-reducer stratum at 10^10 rows); the quota table is a
+    |strata|-row broadcast."""
+    ranked = stratified_topk(
+        df.select(F.col(id_col), F.col(strata_col)).withColumn(
+            "__ord", F.md5(F.col(id_col).cast("string"))
+        ),
+        [strata_col],
+        F.col("__ord"),
+        k=n_total,
+        rank_col="pick_rank",
+    )
+    q = temperature_quotas(df, strata_col, n_total)
+    return (
+        ranked.join(F.broadcast(q), strata_col)
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select(F.col(id_col), F.col(strata_col), "pick_rank", "quota")
+    )

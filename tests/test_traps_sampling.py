@@ -91,3 +91,45 @@ def test_neardup_manifest_picks_smallest_passing_member(spark):
     assert set(rows) == {"a1", "c1"}  # b-group dropped: nothing passes
     assert rows["a1"].kept_id == "a2" and rows["a1"].n_members == 3 and rows["a1"].n_quality == 2
     assert rows["c1"].kept_id == "c1" and rows["c1"].n_members == 1 and rows["c1"].n_quality == 1
+
+
+# -- temperature-smoothed mixture sampling ------------------------------------
+
+
+def test_temperature_quotas_rebalance_toward_rare_strata(spark):
+    import math
+
+    from nrsr_crawler_spark.operators.sampling import temperature_quotas
+
+    # 90/10 skew: sqrt smoothing lifts the rare stratum's share above 10%
+    rows = [(i, "big") for i in range(90)] + [(i + 100, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    q = {r["src"]: r for r in temperature_quotas(df, "src", n_total=50).collect()}
+    w_big = round(math.sqrt(90) * 1_000_000)
+    w_small = round(math.sqrt(10) * 1_000_000)
+    assert q["big"]["quota"] == (50 * w_big) // (w_big + w_small)
+    assert q["small"]["quota"] == (50 * w_small) // (w_big + w_small)
+    # raw share would give small 5/50; smoothing gives it more
+    assert q["small"]["quota"] > 5
+    assert q["big"]["quota"] + q["small"]["quota"] <= 50
+
+
+def test_temperature_mixture_sample_deterministic_and_within_quota(spark):
+    from nrsr_crawler_spark.operators.sampling import temperature_mixture_sample
+
+    rows = [(i, "a" if i % 4 else "b") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out1 = sorted(
+        (r["doc_id"], r["src"], r["pick_rank"])
+        for r in temperature_mixture_sample(df, "doc_id", "src", 30).collect()
+    )
+    out2 = sorted(
+        (r["doc_id"], r["src"], r["pick_rank"])
+        for r in temperature_mixture_sample(df, "doc_id", "src", 30).collect()
+    )
+    assert out1 == out2  # reproducible
+    per_src = {}
+    for _id, src, rk in out1:
+        per_src.setdefault(src, []).append(rk)
+    for src, rks in per_src.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))  # contiguous ranks
