@@ -1499,3 +1499,35 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_sample(
         load(spark, sf_dir, "documents"), "doc_id", "lang", n_total=200
     )
+
+
+# -- model-based quality filter (text.py classifier_quality_filter) ----------
+#
+# The oracle recomputes the same integer features (text_quality expressions)
+# and the same literal weight vector — the logit is exact integer arithmetic
+# end-to-end, so keep decisions can never drift between engines.
+
+
+@query(
+    "text_classifier_filter",
+    """
+    WITH toks AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    f AS (SELECT doc_id,
+                 len(tk) AS n_tokens,
+                 CAST(ROUND(LENGTH(regexp_replace(text, '\\s', '', 'g')) * 10000.0 / len(tk)) AS BIGINT) AS mean_word_len_centi,
+                 CAST(ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10000.0 / LENGTH(text)) AS BIGINT) AS punct_bps,
+                 CAST(ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g'))) * 10000.0 / LENGTH(text)) AS BIGINT) AS upper_bps,
+                 CAST(ROUND(len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','it'], lower(t)))) * 10000.0 / len(tk)) AS BIGINT) AS stopword_bps
+          FROM toks)
+    SELECT doc_id,
+           -60000 + 1 * mean_word_len_centi + 200 * n_tokens
+                  - 8 * punct_bps + 40 * stopword_bps - 12 * upper_bps AS logit,
+           (-60000 + 1 * mean_word_len_centi + 200 * n_tokens
+                   - 8 * punct_bps + 40 * stopword_bps - 12 * upper_bps) >= 0 AS keep
+    FROM f
+    """,
+)
+def text_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style linear quality classifier (integer logit, exact): keep
+    decision = logit >= 0 over the quality-feature vector."""
+    return T.classifier_quality_filter(load(spark, sf_dir, "documents"), "doc_id", "text")

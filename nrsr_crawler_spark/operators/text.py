@@ -314,3 +314,48 @@ def remove_duplicate_blocks(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+# Serving-side weights of a linear quality classifier (the GPT-3-style
+# "quality filter": a logistic model scored over cheap doc features; Brown
+# et al. arXiv:2005.14165 appendix A).  Training happens offline — these are
+# MODEL STATE like the IVF codebook, inlined as integer literals so the
+# logit is exact integer arithmetic and the keep decision oracle-exact.
+QUALITY_CLF_WEIGHTS: dict[str, int] = {
+    "__bias__": -60_000,
+    "n_tokens": 200,           # longer docs score higher…
+    "mean_word_len_centi": 1,  # …with plausible word lengths
+    "stopword_bps": 40,        # English-function-word mass is the big signal
+    "punct_bps": -8,           # punctuation walls / boilerplate punish
+    "upper_bps": -12,          # SHOUTING punishes
+}
+
+
+def classifier_quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, int] | None = None,
+    threshold: int = 0,
+) -> DataFrame:
+    """Model-based quality filtering: score each document with a linear
+    classifier over :func:`quality_features` and emit
+    ``(id, logit, keep)`` where ``logit = bias + Σ wᵢ·fᵢ`` (all integers —
+    exact in any engine) and ``keep = logit ≥ threshold``.  The sigmoid is
+    monotone, so thresholding the logit IS thresholding the probability;
+    keeping it integer avoids the one float that would break hash-exact
+    oracles.
+
+    Scale shape: one codegen scan — features and dot product are column
+    expressions, no shuffle, no UDF; the weight vector is a literal."""
+    w = dict(QUALITY_CLF_WEIGHTS if weights is None else weights)
+    bias = int(w.pop("__bias__", 0))
+    feats = quality_features(df, id_col, text_col)
+    logit = F.lit(bias).cast("long")
+    for name, wi in sorted(w.items()):
+        logit = logit + F.lit(int(wi)) * F.coalesce(F.col(name), F.lit(0))
+    return feats.select(
+        F.col(id_col),
+        logit.alias("logit"),
+        (logit >= threshold).alias("keep"),
+    )

@@ -211,3 +211,27 @@ def test_remove_duplicate_blocks_partial_tail_block(spark):
     }
     assert out[1]["n_blocks"] == 2 and out[1]["removed_blocks"] == 0
     assert out[2]["clean_text"] == "" and out[2]["removed_blocks"] == 1
+
+
+# -- linear quality classifier ------------------------------------------------
+
+
+def test_classifier_quality_filter_hand_weights(spark):
+    from nrsr_crawler_spark.operators.text import classifier_quality_filter
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "ZZZZ!!!! ZZZZ!!!!")],
+        "doc_id long, text string",
+    )
+    w = {"__bias__": -100, "n_tokens": 10, "punct_bps": -1}
+    out = {r["doc_id"]: r for r in classifier_quality_filter(df, "doc_id", "text", weights=w).collect()}
+    # doc 1: 6 tokens, no [.,;:!?] punct -> logit = -100 + 60 = -40
+    assert out[1]["logit"] == -40 and not out[1]["keep"]
+    # doc 2: 2 tokens, 8 of 17 chars are '!' -> punct_bps = round(80000/17)=4706
+    assert out[2]["logit"] == -100 + 20 - 4706
+    # threshold shift flips the decision
+    out_t = {
+        r["doc_id"]: r
+        for r in classifier_quality_filter(df, "doc_id", "text", weights=w, threshold=-50).collect()
+    }
+    assert out_t[1]["keep"] and not out_t[2]["keep"]
