@@ -42,6 +42,8 @@ HEADLINE = [
     "text_substring_dedup",  # exact dup-span detection, linear shingle join
     "link_pagerank",  # iterative integer PageRank, 3 shuffled iterations
     "images_quality_gate",  # decoded-pixel content gate: Arrow decode throughput
+    "text_block_dedup",  # C4-style corpus-level span removal + doc rebuild
+    "dedup_semantic",  # SemDeDup: codebook cells + within-cell cosine keep-one
 ]
 
 

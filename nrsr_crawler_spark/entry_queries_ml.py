@@ -1531,3 +1531,78 @@ def text_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style linear quality classifier (integer logit, exact): keep
     decision = logit >= 0 over the quality-feature vector."""
     return T.classifier_quality_filter(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# -- integer-BM25 retrieval (operators/retrieval.py) --------------------------
+
+_BM25_QUERIES = {
+    "q_engine": ["table", "scan", "filter"],
+    "q_stream": ["stream", "window", "batch"],
+    "q_biz": ["customer", "order", "value"],
+}
+
+_BM25_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in sorted(_BM25_QUERIES.items()) for t in terms
+)
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    post AS (SELECT doc_id, term, COUNT(*) AS tf
+             FROM toks, UNNEST(tk) AS u(term) GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(tk)) AS BIGINT) AS t_tokens FROM toks),
+    q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t
+            FROM post WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+    cand AS (SELECT q.query_id, p.doc_id, p.term, p.tf, dl.dl
+             FROM q JOIN post p USING (term) JOIN dl USING (doc_id)),
+    scored AS (
+        SELECT query_id, doc_id,
+               SUM( (((1000000 * (n_docs - df_t)) // n_docs) * tf * 2200)
+                    // (tf * 1000
+                        + (1200 * (250 + ((750 * dl * n_docs) // t_tokens))) // 1000)
+                  ) AS score
+        FROM cand CROSS JOIN stats JOIN dft USING (term)
+        GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, CAST(score AS BIGINT) AS score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-BM25 top-10 per literal seed query (data-selection retrieval):
+    rational idf + Robertson tf saturation + length normalization, all in
+    scaled-integer floor division — scores hash-exact."""
+    from nrsr_crawler_spark.operators.retrieval import bm25_topk
+
+    out = bm25_topk(
+        load(spark, sf_dir, "documents"), "doc_id", "text", _BM25_QUERIES, k=10
+    )
+    return out.select("query_id", "doc_id", F.col("score").cast("long").alias("score"), "rank")
+
+
+# -- vocabulary coverage curve (operators/text.py) -----------------------------
+
+
+@query(
+    "text_vocab_coverage",
+    """
+    WITH toks AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    terms AS (SELECT u.term FROM toks, UNNEST(tk) AS u(term)),
+    cnts AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+    tot AS (SELECT COUNT(*) AS total FROM terms),
+    top AS (SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+            FROM cnts QUALIFY rank <= 50)
+    SELECT rank, term, cnt,
+           CAST((SUM(cnt) OVER (ORDER BY cnt DESC, term ROWS UNBOUNDED PRECEDING) * 10000) // total AS BIGINT) AS cum_share_bps
+    FROM top CROSS JOIN tot
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary with cumulative token-mass coverage
+    (tokenizer-planning curve) — counts and shares integer-exact."""
+    return T.vocab_coverage(load(spark, sf_dir, "documents"), "doc_id", "text", k=50)

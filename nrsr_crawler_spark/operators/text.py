@@ -359,3 +359,34 @@ def classifier_quality_filter(
         logit.alias("logit"),
         (logit >= threshold).alias("keep"),
     )
+
+
+def vocab_coverage(df: DataFrame, id_col: str, text_col: str, k: int = 100) -> DataFrame:
+    """Tokenizer-planning analytics: the corpus's top-``k`` vocabulary with
+    cumulative token-mass coverage — the curve that decides vocab size /
+    byte-fallback rates when fitting a tokenizer to a new corpus.
+
+    Output: ``(rank, term, cnt, cum_share_bps)`` — rank by (count desc,
+    term asc); ``cum_share_bps = (Σ_{r≤rank} cnt · 10⁴) div total_tokens``
+    (integer, oracle-exact).
+
+    Scale shape (100 TB): one partial-aggregated groupBy on term (the only
+    O(corpus) shuffle, well-mixed key); the top-k is
+    TakeOrderedAndProject (per-partition heads merged on the driver, never
+    a global sort); the cumulative window runs over k rows only.  The
+    1-row total is a scalar broadcast."""
+    from pyspark.sql import Window
+
+    terms = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    cnts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = terms.agg(F.count(F.lit(1)).alias("total"))
+    top = cnts.orderBy(F.col("cnt").desc(), F.col("term")).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("term"))))
+        .withColumn("cum_share_bps", F.expr("(sum(cnt) OVER (ORDER BY cnt DESC, term ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) div total"))
+        .select("rank", "term", "cnt", "cum_share_bps")
+    )

@@ -244,3 +244,75 @@ def test_semantic_dedup_max_cell_drops_degenerate_cell(spark):
     out = semantic_dedup(df, n_centroids=2, threshold=0.95, max_cell=3).collect()
     assert len(out) == 6
     assert all(r["kept"] for r in out)
+
+
+# -- integer BM25 retrieval ----------------------------------------------------
+
+
+def _bm25_ref(corpus, queries, k):
+    """Pure-Python replica of the integer-BM25 math (retrieval.py docstring)."""
+    n = len(corpus)
+    toks = {d: t.split() for d, t in corpus}
+    t_total = sum(len(v) for v in toks.values())
+    df = {}
+    for tks in toks.values():
+        for term in set(tks):
+            df[term] = df.get(term, 0) + 1
+    out = []
+    for qid, terms in sorted(queries.items()):
+        scores = {}
+        for d, tks in toks.items():
+            s = 0
+            for term in terms:
+                tf = tks.count(term)
+                if tf == 0 or term not in df:
+                    continue
+                idf = (1_000_000 * (n - df[term])) // n
+                dl_part = (750 * len(tks) * n) // t_total
+                denom = tf * 1000 + (1200 * (250 + dl_part)) // 1000
+                s += (idf * tf * 2200) // denom
+            if s:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out.extend((qid, d, s, i + 1) for i, (d, s) in enumerate(ranked))
+    return sorted(out)
+
+
+def test_bm25_topk_matches_pure_python_reference(spark):
+    from nrsr_crawler_spark.operators.retrieval import bm25_topk
+
+    corpus = [(1, "cat dog cat"), (2, "dog fish"), (3, "cat cat cat cat")]
+    queries = {"q": ["cat", "fish"]}
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk(df, "doc_id", "text", queries, k=10).collect()
+    )
+    assert got == _bm25_ref(corpus, queries, 10)
+    # rare term (fish, df=1) outranks saturated common term: d2 first
+    by_rank = {r[3]: r[1] for r in got}
+    assert by_rank[1] == 2
+
+
+def test_bm25_ignores_terms_absent_from_corpus(spark):
+    from nrsr_crawler_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    out = bm25_topk(df, "doc_id", "text", {"q": ["zzz_missing", "alpha"]}, k=5).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1  # scored on alpha alone
+
+
+# -- vocabulary coverage curve -------------------------------------------------
+
+
+def test_vocab_coverage_counts_and_cumshare(spark):
+    from nrsr_crawler_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["rank"], r["term"], r["cnt"], r["cum_share_bps"])
+        for r in vocab_coverage(df, "doc_id", "text", k=10).collect()
+    )
+    assert rows == [(1, "a", 2, 4000), (2, "b", 2, 8000), (3, "c", 1, 10000)]
