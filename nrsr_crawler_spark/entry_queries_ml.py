@@ -105,6 +105,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- connected components over the minhash near-dup graph ---------------------
+#
+# Same phash_connected_groups kernel as the image CC query — the operator is
+# modality-generic (any (id_a, id_b) edge set + node list).  The oracle
+# re-derives the SAME pair set (full minhash pipeline as CTEs) and closes it
+# with a recursive-CTE fixpoint.
+
+
+@query(
+    "dedup_minhash_groups",
+    f"""
+    WITH RECURSIVE {SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_MINHASH_SQL} FROM sh GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bucket FROM sigs
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    prs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    vpairs AS (
+        SELECT p.id_a, p.id_b
+        FROM prs p
+        JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+        JOIN cands c ON c.id_a = p.id_a AND c.id_b = p.id_b
+        WHERE p.common * 2 >= (sa.n + sb.n - p.common) * 1
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+              UNION ALL SELECT id_b, id_a FROM vpairs),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id
+    """,
+)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clusters over the verified minhash near-dup
+    pairs (text counterpart of images_phash_cc_groups — the CC kernel is
+    modality-generic)."""
+    from nrsr_crawler_spark.operators.image_dedup import phash_connected_groups
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=2,
+        threshold_num=1, threshold_den=2,
+    ).select("id_a", "id_b")
+    return phash_connected_groups(pairs, docs.select("doc_id"), id_col="doc_id")
+
+
 _NIB = "(strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1)"
 _H16 = f"({_NIB.format(i=1)} * 4096 + {_NIB.format(i=2)} * 256 + {_NIB.format(i=3)} * 16 + {_NIB.format(i=4)})"
 _BITSUMS = ", ".join(
@@ -1606,3 +1667,55 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus vocabulary with cumulative token-mass coverage
     (tokenizer-planning curve) — counts and shares integer-exact."""
     return T.vocab_coverage(load(spark, sf_dir, "documents"), "doc_id", "text", k=50)
+
+
+# -- exact per-stratum length quantiles (text.py length_quantiles) ------------
+#
+# The Spark side uses the scalable histogram+cumulative formulation; the
+# oracle states the same quantile via the direct rank definition
+# (row_number = ceil(q·n/100)) — identical values by construction.
+
+
+@query(
+    "corpus_length_quantiles",
+    """
+    WITH base AS (SELECT lang AS stratum, doc_id,
+                         len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+                  FROM documents),
+    r AS (SELECT stratum, dl,
+                 row_number() OVER (PARTITION BY stratum ORDER BY dl, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY stratum) AS n
+          FROM base)
+    SELECT stratum, MAX(n) AS n_docs,
+           MAX(CASE WHEN rk = (50 * n + 99) // 100 THEN dl END) AS p50_dl,
+           MAX(CASE WHEN rk = (90 * n + 99) // 100 THEN dl END) AS p90_dl
+    FROM r GROUP BY stratum
+    """,
+)
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language p50/p90 document token lengths via the
+    histogram+cumulative formulation (no per-stratum row funnel)."""
+    return T.length_quantiles(load(spark, sf_dir, "documents"), "doc_id", "text", "lang")
+
+
+# -- sliding-window document chunking (text.py chunk_documents) ---------------
+
+
+@query(
+    "text_chunk_windows",
+    """
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk,
+                         CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+                  FROM documents)
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text,
+           CAST(least(64, n - i*48) AS INT) AS n_chunk_tokens
+    FROM toks, UNNEST(CASE WHEN n > 0 THEN range(0, (n - 1) // 48 + 1) ELSE [] END) AS u(i)
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks every 48 tokens (16-token overlap) over documents —
+    map-side only, chunk text + exact tail lengths oracle-gated."""
+    return T.chunk_documents(load(spark, sf_dir, "documents"), "doc_id", "text", size=64, stride=48)

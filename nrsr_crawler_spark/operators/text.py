@@ -390,3 +390,81 @@ def vocab_coverage(df: DataFrame, id_col: str, text_col: str, k: int = 100) -> D
         .withColumn("cum_share_bps", F.expr("(sum(cnt) OVER (ORDER BY cnt DESC, term ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) div total"))
         .select("rank", "term", "cnt", "cum_share_bps")
     )
+
+
+def length_quantiles(
+    df: DataFrame, id_col: str, text_col: str, strata_col: str, qs: tuple[int, ...] = (50, 90)
+) -> DataFrame:
+    """Exact per-stratum token-length quantiles (dataset-card analytics):
+    for each stratum, ``p{q}_dl`` = the discrete q-th percentile of document
+    token counts — the value at rank ⌈q·n/100⌉ under (length, id) order,
+    i.e. ``percentile_disc`` semantics, stated in integer arithmetic so any
+    engine agrees.
+
+    Scale shape (100 TB): NOT a per-stratum row window (that funnels each
+    stratum through one task).  Instead a histogram formulation: one
+    partial-aggregated groupBy on (stratum, length) — bounded by distinct
+    lengths, not documents — then the cumulative window runs over
+    |distinct lengths| rows per stratum.  The quantile is the smallest
+    length whose cumulative count reaches the target rank (identical to the
+    rank definition)."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+    )
+    hist = base.groupBy("stratum", "dl").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("stratum").orderBy("dl").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("stratum")
+    cum = hist.withColumn("cum", F.sum("c").over(wc)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    aggs = [F.max("n").alias("n_docs")]
+    for q in qs:
+        target = F.expr(f"({q} * n + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= target, F.col("dl"))).alias(f"p{q}_dl")
+        )
+    return cum.groupBy("stratum").agg(*aggs)
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Sliding-window document chunking (pretraining/RAG prep): token windows
+    of ``size`` starting every ``stride`` tokens (overlap = size − stride),
+    the standard long-document treatment when sequences exceed the context
+    window.  Chunk i covers tokens [i·stride+1 .. i·stride+size]; chunks are
+    emitted while their start is in range, so the tail chunk may be short.
+    Empty documents emit no chunks.
+
+    Output: ``(id, chunk_idx, chunk_text, n_chunk_tokens)``.
+
+    Scale shape: pure map-side — tokenize, slice, explode; output volume is
+    ~|tokens|/stride rows per doc; no shuffle at all (downstream packing /
+    shard-writing owns the exchange)."""
+    tk = tokens(F.col(text_col))
+    n = token_count(F.col(text_col))
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / stride).cast("int") + 1
+    )
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.array_join(F.slice(tk, i * stride + 1, size), " ").alias("chunk_text"),
+                F.least(F.lit(size), n - i * stride).cast("int").alias("n_chunk_tokens"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk_idx:int,chunk_text:string,n_chunk_tokens:int>>"))
+    return df.select(F.col(id_col), F.explode(chunks).alias("ch")).select(
+        F.col(id_col),
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.chunk_text").alias("chunk_text"),
+        F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
+    )

@@ -251,3 +251,35 @@ def test_shard_write_plan_single_shuffle(spark):
     plan = _plan(staged)
     assert plan.count("+- Exchange") == 1, plan[:3000]
     assert "BatchEvalPython" not in plan
+
+
+def test_second_wave_text_ops_stay_jvm_side(spark):
+    """The round-3 second-wave corpus operators are pure DataFrame plans —
+    no row-at-a-time Python, no pandas UDF, anywhere."""
+    import nrsr_crawler_spark.entry_queries_ext  # noqa: F401 — registers queries
+    import nrsr_crawler_spark.entry_queries_ml  # noqa: F401
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    for name in (
+        "text_block_dedup",
+        "dedup_semantic",
+        "text_bm25_topk",
+        "text_vocab_coverage",
+        "anchor_text_rollup",
+        "mixture_temperature_sample",
+        "text_classifier_filter",
+        "corpus_length_quantiles",
+        "text_chunk_windows",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bm25_broadcasts_query_terms_and_stats(spark):
+    import nrsr_crawler_spark.entry_queries_ml  # noqa: F401 — registers queries
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["text_bm25_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

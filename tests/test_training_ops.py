@@ -235,3 +235,62 @@ def test_classifier_quality_filter_hand_weights(spark):
         for r in classifier_quality_filter(df, "doc_id", "text", weights=w, threshold=-50).collect()
     }
     assert out_t[1]["keep"] and not out_t[2]["keep"]
+
+
+# -- exact length quantiles -----------------------------------------------------
+
+
+def test_length_quantiles_match_rank_definition(spark):
+    from nrsr_crawler_spark.operators.text import length_quantiles
+
+    # stratum a: lengths 1..10 -> p50 = value at rank ceil(500/100)=5, p90 at 9
+    rows = [(i, "a", "w " * i) for i in range(1, 11)] + [(100, "b", "x y z")]
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows], "doc_id long, src string, text string"
+    )
+    out = {r["stratum"]: r for r in length_quantiles(df, "doc_id", "text", "src").collect()}
+    assert out["a"]["n_docs"] == 10 and out["a"]["p50_dl"] == 5 and out["a"]["p90_dl"] == 9
+    # single-doc stratum: every quantile is that doc's length
+    assert out["b"]["n_docs"] == 1 and out["b"]["p50_dl"] == 3 and out["b"]["p90_dl"] == 3
+
+
+def test_length_quantiles_with_duplicate_lengths(spark):
+    from nrsr_crawler_spark.operators.text import length_quantiles
+
+    # lengths [2,2,2,7]: p50 target rank ceil(200/100)=2 -> 2; p90 rank 4 -> 7
+    df = spark.createDataFrame(
+        [(1, "s", "a b"), (2, "s", "c d"), (3, "s", "e f"), (4, "s", "a b c d e f g")],
+        "doc_id long, src string, text string",
+    )
+    (row,) = length_quantiles(df, "doc_id", "text", "src").collect()
+    assert row["p50_dl"] == 2 and row["p90_dl"] == 7
+
+
+# -- sliding-window chunking -----------------------------------------------------
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from nrsr_crawler_spark.operators.text import chunk_documents
+
+    # 7 tokens, size=4, stride=3 -> chunks [1..4], [4..7], [7] (starts 1,4,7)
+    df = spark.createDataFrame([(1, "t1 t2 t3 t4 t5 t6 t7"), (2, "")],
+                               "doc_id long, text string")
+    out = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, "doc_id", "text", size=4, stride=3).collect()
+    )
+    assert out == [
+        (1, 0, "t1 t2 t3 t4", 4),
+        (1, 1, "t4 t5 t6 t7", 4),
+        (1, 2, "t7", 1),
+    ]  # empty doc 2 emits nothing
+
+
+def test_chunk_documents_exact_multiple_no_empty_tail(spark):
+    from nrsr_crawler_spark.operators.text import chunk_documents
+
+    # 6 tokens, size=3, stride=3 -> exactly 2 full chunks, no empty third
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", size=3, stride=3).collect()
+    assert len(out) == 2
+    assert {r["chunk_text"] for r in out} == {"a b c", "d e f"}
