@@ -729,3 +729,52 @@ def anchor_text_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         hot_page("hot", F.concat(F.lit("HOT-"), okey))
     ).unionByName(hot_page("hot2", normal))
     return anchor_text_rollup(pages, "page_url", "html")
+
+
+# ---------------------------------------------------------------------------
+# Gap-based event sessionization + JSON props extraction over the events
+# table — the semi-structured (JSON column) source surface plus the classic
+# event-analytics window, both exact (unix_micros integer gaps; JSON path
+# extraction identical in both engines).
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+    l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+    f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+    s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.windows import gap_sessionize
+
+    ev = load(spark, sf_dir, "events")
+    return gap_sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
+
+
+@query(
+    "events_json_rollup",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: JSON path extraction from the props
+    column (JVM get_json_object — codegen, no UDF), rolled up per type."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -68,3 +68,47 @@ def positional_slice(
         .filter((F.col("__pos") > 1) & (F.col("__pos") < F.col("__n")))
         .drop("__pos", "__n")
     )
+
+
+def gap_sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization (the classic event-analytics window): events
+    of one key belong to the same session while consecutive gaps stay within
+    ``gap_seconds``; a larger gap opens the next session.  Emits one row per
+    session: ``(key, session_seq, n_events, start_ts, end_ts)`` with
+    ``session_seq`` 1-based in time order.
+
+    Time arithmetic runs on ``unix_micros`` (exact integers — microsecond
+    timestamps survive any engine); ordering ties break on ``id_col``.
+
+    Scale shape: two windows partitioned by the key (lag + running sum) and
+    one groupBy — all on the same partitioning, so Catalyst plans ONE
+    exchange; keys are users/hosts (well-mixed, no single-reducer funnel).
+    """
+    # cast covers TIMESTAMP_NTZ inputs (session TZ is pinned UTC, so the
+    # NTZ→instant mapping is the identity)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(us, F.col(id_col))
+    brk = F.when(
+        F.lag(us).over(w).isNull()
+        | ((us - F.lag(us).over(w)) > gap_seconds * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy(us, F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.withColumn("__brk", brk)
+        .withColumn("session_seq", F.sum("__brk").over(run))
+        .groupBy(key_col, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+        )
+    )

@@ -239,3 +239,43 @@ def test_streaming_trap_counter_across_batches(spark, tmp_path):
     page = [r for r in got if "page" in r.canon_url]
     assert len(page) == 1 and page[0].tpl_seen == 1 and page[0].trapped == "n"
     assert all(r.template == "https://a.sk/cal?d=N" for r in cal)
+
+
+# -- gap sessionization (batch window) ----------------------------------------
+
+
+def test_gap_sessionize_hand_built(spark):
+    import datetime as dt
+
+    from nrsr_crawler_spark.operators.windows import gap_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, 10, ts(0)), (1, 11, ts(10)), (1, 12, ts(50)),  # gap 40m -> new session
+        (2, 20, ts(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = {
+        (r["user_id"], r["session_seq"]): r
+        for r in gap_sessionize(df, "user_id", "ts", "event_id", gap_seconds=1800).collect()
+    }
+    assert out[(1, 1)]["n_events"] == 2 and out[(1, 1)]["end_ts"] == ts(10)
+    assert out[(1, 2)]["n_events"] == 1 and out[(1, 2)]["start_ts"] == ts(50)
+    assert out[(2, 1)]["n_events"] == 1
+    assert len(out) == 3
+
+
+def test_gap_sessionize_boundary_is_strict(spark):
+    import datetime as dt
+
+    from nrsr_crawler_spark.operators.windows import gap_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, 1, t0), (1, 2, t0 + dt.timedelta(seconds=1800))]  # gap == limit
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = gap_sessionize(df, "user_id", "ts", "event_id", gap_seconds=1800).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2  # strict '>' keeps one session
