@@ -778,3 +778,96 @@ def events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AS-OF join (operators/temporal_joins.py): every non-snapshot order joined
+# to the customer's LATEST policy snapshot at or before its date (snapshots
+# = every 10th order, one per (customer, date)).  The oracle states as-of
+# semantics directly (inequality join + latest-wins rank).
+
+
+@query(
+    "asof_policy_join",
+    """
+    WITH snaps AS (
+        SELECT o_custkey AS ck, o_orderdate AS sd,
+               MIN(o_orderkey) AS policy_okey,
+               arg_min(o_totalprice, o_orderkey) AS policy_price
+        FROM orders WHERE o_orderkey % 10 = 0 GROUP BY 1, 2
+    ),
+    lefts AS (SELECT o_orderkey, o_custkey, o_orderdate
+              FROM orders WHERE o_orderkey % 10 <> 0),
+    ranked AS (
+        SELECT l.o_orderkey, l.o_custkey, l.o_orderdate,
+               s.sd, s.policy_okey, s.policy_price,
+               row_number() OVER (PARTITION BY l.o_orderkey ORDER BY s.sd DESC) AS rn
+        FROM lefts l LEFT JOIN snaps s
+          ON s.ck = l.o_custkey AND s.sd <= l.o_orderdate
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(sd AS TIMESTAMP) AS matched_ts, policy_okey, policy_price
+    FROM ranked WHERE rn = 1
+    """,
+)
+def asof_policy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.temporal_joins import asof_join
+
+    ords = load(spark, sf_dir, "orders")
+    snaps = (
+        ords.filter(F.col("o_orderkey") % 10 == 0)
+        .groupBy(F.col("o_custkey"), F.col("o_orderdate"))
+        .agg(F.min(F.struct("o_orderkey", "o_totalprice")).alias("s"))
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.col("s.o_orderkey").alias("policy_okey"),
+            F.col("s.o_totalprice").alias("policy_price"),
+        )
+    )
+    lefts = ords.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return asof_join(
+        lefts, snaps, key="o_custkey", left_ts="o_orderdate",
+        right_ts="o_orderdate", payload_cols=["policy_okey", "policy_price"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binned RANGE join (operators/temporal_joins.py): events assigned to their
+# user's session interval via (key, time-bin) equi-join + residual filter —
+# never a nested-loop range product.  Intervals come from gap_sessionize;
+# the oracle states the BETWEEN join directly.
+
+
+@query(
+    "range_session_assign",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us FROM events),
+    l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+    f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+    s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq FROM f),
+    sess AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                    MIN(ts) AS start_ts, MAX(ts) AS end_ts
+             FROM s GROUP BY user_id, session_seq)
+    SELECT ev.event_id, ev.user_id, ev.event_type, ev.ts,
+           sess.session_seq, sess.start_ts, sess.end_ts
+    FROM events ev JOIN sess
+      ON ev.user_id = sess.user_id AND ev.ts BETWEEN sess.start_ts AND sess.end_ts
+    """,
+)
+def range_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.temporal_joins import range_join_binned
+    from nrsr_crawler_spark.operators.windows import gap_sessionize
+
+    ev = load(spark, sf_dir, "events")
+    sess = gap_sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800).select(
+        "user_id", "session_seq", "start_ts", "end_ts"
+    )
+    points = ev.select("event_id", "user_id", "event_type", "ts")
+    return range_join_binned(
+        points, sess, key="user_id", point_ts="ts",
+        start_ts="start_ts", end_ts="end_ts", bin_seconds=3600,
+    )

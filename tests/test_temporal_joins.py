@@ -1,0 +1,96 @@
+"""AS-OF join and binned RANGE join — hand-built semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from nrsr_crawler_spark.operators.temporal_joins import asof_join, range_join_binned
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_join_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "h", _ts(5)), (2, "h", _ts(10)), (3, "h", _ts(0)), (4, "g", _ts(60))],
+        "id long, host string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("h", _ts(1), "v1"), ("h", _ts(10), "v2"), ("g", _ts(90), "vg")],
+        "host string, ts timestamp, policy string",
+    )
+    out = {
+        r["id"]: r
+        for r in asof_join(left, right, "host", "ts", "ts", ["policy"]).collect()
+    }
+    assert out[1]["policy"] == "v1"          # latest at or before t=5
+    assert out[2]["policy"] == "v2"          # equal timestamp matches (inclusive)
+    assert out[3]["policy"] is None          # nothing in effect yet
+    assert out[4]["policy"] is None          # other key's snapshot is later
+    assert out[2]["matched_ts"] == _ts(10)
+    assert len(out) == 4                      # every left row survives
+
+
+def test_asof_join_key_isolation(spark):
+    left = spark.createDataFrame([(1, "a", _ts(50))], "id long, host string, ts timestamp")
+    right = spark.createDataFrame(
+        [("b", _ts(1), "other-key")], "host string, ts timestamp, policy string"
+    )
+    (row,) = asof_join(left, right, "host", "ts", "ts", ["policy"]).collect()
+    assert row["policy"] is None
+
+
+def test_range_join_binned_boundaries_and_multibin(spark):
+    points = spark.createDataFrame(
+        [(1, "u", _ts(0)), (2, "u", _ts(90)), (3, "u", _ts(200)), (4, "v", _ts(90))],
+        "event_id long, user string, ts timestamp",
+    )
+    # interval spans 0..90 min = multiple 1h bins; boundaries inclusive
+    intervals = spark.createDataFrame(
+        [("u", _ts(0), _ts(90), 7)],
+        "user string, start_ts timestamp, end_ts timestamp, tag long",
+    )
+    out = sorted(
+        r["event_id"]
+        for r in range_join_binned(
+            points, intervals, "user", "ts", "start_ts", "end_ts", bin_seconds=3600
+        ).collect()
+    )
+    assert out == [1, 2]  # 3 outside the range, 4 is another key
+
+
+def test_range_join_binned_matches_naive_join(spark):
+    import random
+
+    rnd = random.Random(7)
+    points = spark.createDataFrame(
+        [(i, f"u{i % 3}", _ts(rnd.randrange(0, 600))) for i in range(60)],
+        "event_id long, user string, ts timestamp",
+    )
+    ivs = []
+    for j in range(9):
+        s = rnd.randrange(0, 500)
+        ivs.append((f"u{j % 3}", _ts(s), _ts(s + rnd.randrange(10, 240)), j))
+    intervals = spark.createDataFrame(
+        ivs, "user string, start_ts timestamp, end_ts timestamp, tag long"
+    )
+    got = sorted(
+        (r["event_id"], r["tag"])
+        for r in range_join_binned(
+            points, intervals, "user", "ts", "start_ts", "end_ts", bin_seconds=1800
+        ).collect()
+    )
+    from pyspark.sql import functions as F
+
+    naive = sorted(
+        (r["event_id"], r["tag"])
+        for r in points.join(
+            intervals,
+            (points["user"] == intervals["user"])
+            & points["ts"].between(intervals["start_ts"], intervals["end_ts"]),
+        ).collect()
+    )
+    assert got == naive and len(got) > 0
