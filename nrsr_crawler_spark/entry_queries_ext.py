@@ -871,3 +871,34 @@ def range_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         points, sess, key="user_id", point_ts="ts",
         start_ts="start_ts", end_ts="end_ts", bin_seconds=3600,
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style hourly rollup (operators/rollup.py): time-bucket by exact
+# integer microsecond floor division, mergeable integer-cent partials.  The
+# oracle restates the bucketing and aggregation directly.
+
+
+@query(
+    "events_hourly_rollup",
+    """
+    WITH b AS (
+        SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket,
+               event_type,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    )
+    SELECT bucket, event_type,
+           COUNT(*) AS n,
+           SUM(c) AS sum_centi,
+           MIN(c) AS vmin,
+           MAX(c) AS vmax
+    FROM b GROUP BY bucket, event_type
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.rollup import time_rollup
+
+    return time_rollup(
+        load(spark, sf_dir, "events"), "ts", ["event_type"], "value", width_seconds=3600
+    )

@@ -1719,3 +1719,38 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-token chunks every 48 tokens (16-token overlap) over documents —
     map-side only, chunk text + exact tail lengths oracle-gated."""
     return T.chunk_documents(load(spark, sf_dir, "documents"), "doc_id", "text", size=64, stride=48)
+
+
+# -- count-min sketch (operators/sketches.py) ---------------------------------
+
+_CM_NIB = "(strpos('0123456789abcdef', substr(md5(r || ':' || term), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(r || ':' || term), 2, 1)) - 1)"
+
+
+@query(
+    "sketch_countmin_tokens",
+    f"""
+    WITH toks AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    tok AS (SELECT u.term FROM toks, UNNEST(tk) AS u(term)),
+    cells AS (SELECT r, {_CM_NIB} AS c FROM tok, UNNEST(['0','1','2','3']) AS rr(r)),
+    grid AS (SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY r, c),
+    truth AS (SELECT term, COUNT(*) AS true_cnt FROM tok GROUP BY term),
+    probe AS (SELECT term, r, {_CM_NIB} AS c FROM truth, UNNEST(['0','1','2','3']) AS rr(r)),
+    est AS (SELECT p.term, MIN(COALESCE(g.cnt, 0)) AS cm_est
+            FROM probe p LEFT JOIN grid g USING (r, c) GROUP BY p.term)
+    SELECT t.term, t.true_cnt, e.cm_est
+    FROM truth t JOIN est e USING (term)
+    """,
+)
+def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus tokens: 4×256 portable md5-cell grid,
+    point estimates vs true counts (estimate ≥ truth always — the sketch's
+    one-sided error, asserted in tests)."""
+    from nrsr_crawler_spark.operators.sketches import cm_build, cm_estimate
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    truth = toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_cnt"))
+    sketch = cm_build(toks, "term", d=4, w=256)
+    est = cm_estimate(sketch, truth.select("term"), "term", d=4, w=256)
+    return truth.join(est, "term").select("term", "true_cnt", "cm_est")

@@ -94,3 +94,79 @@ def test_range_join_binned_matches_naive_join(spark):
         ).collect()
     )
     assert got == naive and len(got) > 0
+
+
+# -- hypertable rollup + incremental merge ------------------------------------
+
+
+def test_time_rollup_incremental_merge_equals_full(spark):
+    from nrsr_crawler_spark.operators.rollup import merge_rollups, time_rollup
+
+    rows = [
+        (i, "a" if i % 3 else "b", _ts(i * 7), float(i) + 0.25) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, et string, ts timestamp, value double")
+    full = time_rollup(df, "ts", ["et"], "value", width_seconds=3600)
+    half1 = time_rollup(df.filter("event_id % 2 = 0"), "ts", ["et"], "value", 3600)
+    half2 = time_rollup(df.filter("event_id % 2 = 1"), "ts", ["et"], "value", 3600)
+    merged = merge_rollups(half1, half2)
+    key = lambda r: (r["bucket"], r["et"])  # noqa: E731
+    a = {key(r): (r["n"], r["sum_centi"], r["vmin"], r["vmax"]) for r in full.collect()}
+    b = {key(r): (r["n"], r["sum_centi"], r["vmin"], r["vmax"]) for r in merged.collect()}
+    assert a == b and len(a) > 1
+
+
+def test_time_bucket_floor_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from nrsr_crawler_spark.operators.rollup import time_bucket
+
+    df = spark.createDataFrame(
+        [(_ts(59),), (_ts(60),), (_ts(61),)], "ts timestamp"
+    )
+    out = [r[0] for r in df.select(time_bucket(F.col("ts"), 3600)).collect()]
+    assert out == [_ts(0), _ts(60), _ts(60)]
+
+
+# -- count-min sketch -----------------------------------------------------------
+
+
+def test_countmin_never_underestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from nrsr_crawler_spark.operators.sketches import cm_build, cm_estimate, cm_merge
+
+    rows = [(f"item{i % 17}",) for i in range(300)] + [("hot",)] * 50
+    df = spark.createDataFrame(rows, "term string")
+    truth = {r["term"]: r["cnt"] for r in df.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    items = df.select("term").distinct()
+
+    sk = cm_build(df, "term", d=4, w=256)
+    est = {r["term"]: r["cm_est"] for r in cm_estimate(sk, items, "term", 4, 256).collect()}
+    assert set(est) == set(truth)
+    for t, true_cnt in truth.items():
+        assert est[t] >= true_cnt  # one-sided error
+    assert est["hot"] >= 50
+
+    # merge of split sketches == sketch of the union (counts add exactly);
+    # deterministic split: tag each occurrence with an id and halve by parity
+    idx = spark.createDataFrame(
+        [(i, t) for i, (t,) in enumerate(rows)], "i long, term string"
+    )
+    sk_a = cm_build(idx.filter("i % 2 = 0"), "term", d=4, w=256)
+    sk_b = cm_build(idx.filter("i % 2 = 1"), "term", d=4, w=256)
+    merged = {(r["r"], r["c"]): r["cnt"] for r in cm_merge(sk_a, sk_b).collect()}
+    full = {(r["r"], r["c"]): r["cnt"] for r in sk.collect()}
+    assert merged == full
+
+
+def test_countmin_unseen_item_estimates_from_grid(spark):
+    from nrsr_crawler_spark.operators.sketches import cm_build, cm_estimate
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "term string")
+    items = spark.createDataFrame([("never_seen_zzz",)], "term string")
+    sk = cm_build(df, "term", d=4, w=256)
+    (row,) = cm_estimate(sk, items, "term", 4, 256).collect()
+    # unseen item: estimate is whatever its cells collided with (possibly 0),
+    # never negative
+    assert row["cm_est"] >= 0
