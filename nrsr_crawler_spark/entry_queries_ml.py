@@ -1754,3 +1754,112 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cm_build(toks, "term", d=4, w=256)
     est = cm_estimate(sketch, truth.select("term"), "term", d=4, w=256)
     return truth.join(est, "term").select("term", "true_cnt", "cm_est")
+
+
+# -- HyperLogLog cardinality sketch (operators/sketches.py) -------------------
+#
+# Same portability discipline as count-min: register = md5-hex decode mod m,
+# rho = hex-string leading-zero arithmetic, estimate = int64 floor division
+# of the exact rational alpha·m²·2³³/S — the full register table AND the
+# estimate hash-match any engine.
+
+_HLL_REG = (
+    "((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16 "
+    "+ (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1)) % 64"
+)
+
+
+from nrsr_crawler_spark.operators.sketches import hll_lc_table as _hll_lc_table
+
+_HLL_RAW = (
+    "24945719810981888 // (1000 * (SUM(1::BIGINT << (33 - rho_max)) "
+    "+ (64 - COUNT(*)) * 8589934592))"
+)
+_HLL_LC_CASE = (
+    "CASE (64 - COUNT(*)) "
+    + " ".join(f"WHEN {v} THEN {e}" for v, e in _hll_lc_table(64).items())
+    + " END"
+)
+
+
+@query(
+    "sketch_hll_tokens",
+    f"""
+    WITH toks AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    tok AS (SELECT u.term FROM toks, UNNEST(tk) AS u(term)),
+    h AS (SELECT {_HLL_REG} AS register, ltrim(substr(md5(term), 3, 8), '0') AS t FROM tok),
+    rho AS (SELECT register,
+                   CASE WHEN length(t) = 0 THEN 33
+                        ELSE (8 - length(t)) * 4
+                             + CASE WHEN substr(t,1,1) = '1' THEN 3
+                                    WHEN substr(t,1,1) IN ('2','3') THEN 2
+                                    WHEN substr(t,1,1) IN ('4','5','6','7') THEN 1
+                                    ELSE 0 END + 1 END AS rho
+            FROM h),
+    regs AS (SELECT CAST(register AS BIGINT) AS register, CAST(MAX(rho) AS INT) AS rho_max
+             FROM rho GROUP BY register),
+    est AS (SELECT CAST(COUNT(*) AS BIGINT) AS registers_set,
+                   CAST({_HLL_RAW} AS BIGINT) AS hll_est,
+                   CAST(CASE WHEN {_HLL_RAW} <= 160 AND COUNT(*) < 64
+                             THEN {_HLL_LC_CASE} ELSE {_HLL_RAW} END AS BIGINT) AS hll_est_corrected
+            FROM regs),
+    truth AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS true_distinct FROM tok)
+    SELECT register, rho_max, registers_set, hll_est, hll_est_corrected, true_distinct
+    FROM regs CROSS JOIN est CROSS JOIN truth
+    """,
+)
+def sketch_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog over corpus tokens: the 64-register table (portable
+    md5-hex construction, exact) + integer raw and small-range-corrected
+    estimates vs the true distinct count — the cardinality companion to the
+    count-min frequency sketch."""
+    from nrsr_crawler_spark.operators.sketches import hll_build, hll_estimate
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    regs = hll_build(toks, "term", p=6)
+    est = hll_estimate(regs, p=6).select("registers_set", "hll_est", "hll_est_corrected")
+    truth = toks.agg(F.countDistinct("term").cast("long").alias("true_distinct"))
+    return regs.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(truth)).select(
+        F.col("register").cast("long").alias("register"),
+        "rho_max",
+        "registers_set",
+        "hll_est",
+        "hll_est_corrected",
+        "true_distinct",
+    )
+
+
+# -- bigram-LM coherence scoring (operators/text.py) --------------------------
+
+
+@query(
+    "text_bigram_coherence",
+    """
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk,
+                         CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+                  FROM documents),
+    bgs AS (SELECT doc_id,
+                   CASE WHEN n >= 2
+                        THEN list_transform(range(1, n), i -> tk[i] || ' ' || tk[i + 1])
+                        ELSE [] END AS bg
+            FROM toks),
+    pairs AS (SELECT doc_id, u.b FROM bgs, UNNEST(bg) AS u(b)),
+    cnts AS (SELECT b, COUNT(*) AS cnt FROM pairs GROUP BY b),
+    top AS (SELECT b FROM cnts ORDER BY cnt DESC, b LIMIT 200),
+    hits AS (SELECT doc_id, COUNT(*) AS th FROM pairs JOIN top USING (b) GROUP BY doc_id)
+    SELECT g.doc_id,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(th, 0) AS BIGINT) AS top_hits,
+           CAST(CASE WHEN len(bg) = 0 THEN 0
+                     ELSE COALESCE(th, 0) * 10000 // len(bg) END AS BIGINT) AS coherence_bps
+    FROM bgs g LEFT JOIN hits ON hits.doc_id = g.doc_id
+    """,
+)
+def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact bigram-LM coherence proxy: share of each document's
+    adjacent token pairs found in the corpus top-200 bigram table (KenLM-
+    perplexity-filter stand-in, no floats)."""
+    return T.bigram_coherence(load(spark, sf_dir, "documents"), "doc_id", "text", k=200)

@@ -468,3 +468,60 @@ def chunk_documents(
         F.col("ch.chunk_text").alias("chunk_text"),
         F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
     )
+
+
+def bigram_coherence(
+    df: DataFrame, id_col: str, text_col: str, k: int = 200
+) -> DataFrame:
+    """Bigram-LM coherence proxy (the integer-exact stand-in for KenLM-style
+    perplexity filtering): score each document by the share of its adjacent
+    token pairs that land in the corpus's top-``k`` bigram table.  Fluent
+    in-domain text reuses the corpus's frequent collocations; gibberish,
+    boilerplate keyword stuffing, and wrong-language text do not — the same
+    signal an n-gram LM perplexity threshold captures, without floating
+    point (count ratios in basis points, so the oracle is hash-exact).
+
+    Output: ``(doc_id, n_bigrams, top_hits, coherence_bps)`` with
+    ``coherence_bps = top_hits·10⁴ div n_bigrams`` (0 for <2-token docs).
+
+    Scale shape (100 TB): bigrams are formed INSIDE the token array
+    (``transform`` over the array — map-side, no per-doc window/shuffle);
+    the corpus bigram count is the one O(corpus) partial-aggregated groupBy
+    on a well-mixed key; top-k is TakeOrderedAndProject (deterministic
+    (cnt desc, bigram) order); scoring is a broadcast semi-join of the k-row
+    table against the exploded pairs — the corpus never re-shuffles."""
+    bg = F.when(
+        F.col("n") >= 2,
+        F.expr("transform(sequence(0, n - 2), i -> concat(tk[i], ' ', tk[i + 1]))"),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("tk"),
+        token_count(F.col(text_col)).alias("n"),
+    ).withColumn("bg", bg)
+    pairs = base.select("doc_id", F.explode("bg").alias("b"))
+    top = (
+        pairs.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("b"))
+        .limit(k)
+        .select("b")
+    )
+    hits = (
+        pairs.join(F.broadcast(top), "b", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("top_hits"))
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("bg").cast("long").alias("n_bigrams"),
+            F.coalesce("top_hits", F.lit(0)).cast("long").alias("top_hits"),
+            F.when(F.size("bg") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("(coalesce(top_hits, 0) * 10000) div size(bg)")
+            )
+            .alias("coherence_bps"),
+        )
+    )

@@ -170,3 +170,66 @@ def test_countmin_unseen_item_estimates_from_grid(spark):
     # unseen item: estimate is whatever its cells collided with (possibly 0),
     # never negative
     assert row["cm_est"] >= 0
+
+
+def test_hll_estimate_within_error_envelope(spark):
+    from nrsr_crawler_spark.operators.sketches import hll_build, hll_estimate
+
+    n = 5000
+    df = spark.createDataFrame([(f"url-{i}",) for i in range(n)], "term string")
+    regs = hll_build(df, "term", p=6)
+    (row,) = hll_estimate(regs, p=6).collect()
+    assert row["m"] == 64
+    assert 1 <= row["registers_set"] <= 64
+    # raw HLL relative error ~1.04/sqrt(64) = 13%; generous 3-sigma envelope
+    assert abs(row["hll_est"] - n) <= 0.4 * n
+    # large range: no zero registers expected, corrected == raw
+    assert row["hll_est_corrected"] == row["hll_est"]
+    # duplicates must not move the estimate (distinct-count semantics)
+    dup = df.unionAll(df).unionAll(df)
+    (row2,) = hll_estimate(hll_build(dup, "term", p=6), p=6).collect()
+    assert row2["hll_est"] == row["hll_est"]
+    # small range: linear counting kicks in and beats the raw estimate
+    small = spark.createDataFrame([(f"s-{i}",) for i in range(30)], "term string")
+    (row3,) = hll_estimate(hll_build(small, "term", p=6), p=6).collect()
+    assert row3["registers_set"] < 64
+    assert abs(row3["hll_est_corrected"] - 30) <= abs(row3["hll_est"] - 30)
+    assert abs(row3["hll_est_corrected"] - 30) <= 10
+
+
+def test_hll_merge_equals_union_build(spark):
+    from nrsr_crawler_spark.operators.sketches import hll_build, hll_merge
+
+    a = spark.createDataFrame([(f"a-{i}",) for i in range(400)], "term string")
+    b = spark.createDataFrame([(f"b-{i}",) for i in range(400)], "term string")
+    merged = {
+        (r["register"], r["rho_max"])
+        for r in hll_merge(hll_build(a, "term"), hll_build(b, "term")).collect()
+    }
+    full = {
+        (r["register"], r["rho_max"])
+        for r in hll_build(a.unionAll(b), "term").collect()
+    }
+    assert merged == full
+
+
+def test_bigram_coherence_ranks_fluent_text_above_gibberish(spark):
+    from nrsr_crawler_spark.operators.text import bigram_coherence
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    rows = [(f"d{i}", fluent) for i in range(20)]
+    rows += [("gib", "zq xv qj wk vz kx jq zv qx wv")]
+    rows += [("empty", ""), ("one", "solo")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    # k=8 = exactly the fluent collocations (count 20 each); the tie-break
+    # fill at count 1 would otherwise admit a couple of gibberish bigrams
+    out = {r["doc_id"]: r for r in bigram_coherence(df, "doc_id", "text", k=8).collect()}
+    assert len(out) == 23
+    # fluent docs: all 8 bigrams are corpus-frequent (20 copies each)
+    assert out["d0"]["n_bigrams"] == 8
+    assert out["d0"]["coherence_bps"] == 10000
+    # gibberish: its bigrams occur once each, below the top-10 cut
+    assert out["gib"]["coherence_bps"] == 0
+    # degenerate docs: no bigrams, score 0 (not null, not error)
+    assert out["empty"]["n_bigrams"] == 0 and out["empty"]["coherence_bps"] == 0
+    assert out["one"]["n_bigrams"] == 0 and out["one"]["coherence_bps"] == 0
