@@ -1863,3 +1863,75 @@ def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent token pairs found in the corpus top-200 bigram table (KenLM-
     perplexity-filter stand-in, no floats)."""
     return T.bigram_coherence(load(spark, sf_dir, "documents"), "doc_id", "text", k=200)
+
+
+# -- incremental (cross-snapshot) dedup (operators/dedup.py) ------------------
+#
+# Deterministic snapshot split: batch = docs whose md5(doc_id) starts with a
+# hex char in 0-3 (~25%), corpus = the rest — both engines derive the same
+# partition, no fixture changes.
+
+
+@query(
+    "dedup_incremental",
+    f"""
+    WITH b AS (SELECT * FROM documents WHERE strpos('0123', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0),
+    c AS (SELECT * FROM documents WHERE strpos('0123', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) = 0),
+    cex AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS exact_id FROM c GROUP BY md5(text)),
+    bex AS (SELECT b.doc_id AS batch_id, cex.exact_id
+            FROM b LEFT JOIN cex ON md5(b.text) = cex.content_hash),
+    bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM b),
+    bsh AS (SELECT DISTINCT doc_id, s AS shingle
+            FROM bw, UNNEST(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS t(s)),
+    cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM c),
+    csh AS (SELECT DISTINCT doc_id, s AS shingle
+            FROM cw, UNNEST(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS t(s)),
+    bsig AS (SELECT doc_id, {_MINHASH_SQL} FROM bsh GROUP BY doc_id),
+    csig AS (SELECT doc_id, {_MINHASH_SQL} FROM csh GROUP BY doc_id),
+    bband AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM bsig
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bucket FROM bsig
+    ),
+    cband AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM csig
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bucket FROM csig
+    ),
+    cands AS (SELECT DISTINCT bb.doc_id AS batch_id, cb.doc_id AS corpus_id
+              FROM bband bb JOIN cband cb USING (band, bucket)),
+    bsz AS (SELECT doc_id, COUNT(*) AS nb FROM bsh GROUP BY doc_id),
+    csz AS (SELECT doc_id, COUNT(*) AS nc FROM csh GROUP BY doc_id),
+    common AS (SELECT k.batch_id, k.corpus_id, COUNT(*) AS common
+               FROM cands k
+               JOIN bsh ON bsh.doc_id = k.batch_id
+               JOIN csh ON csh.doc_id = k.corpus_id AND csh.shingle = bsh.shingle
+               GROUP BY k.batch_id, k.corpus_id),
+    near AS (SELECT m.batch_id, MIN(m.corpus_id) AS near_id
+             FROM common m
+             JOIN bsz ON bsz.doc_id = m.batch_id
+             JOIN csz ON csz.doc_id = m.corpus_id
+             WHERE m.common * 2 >= (bsz.nb + csz.nc - m.common) * 1
+             GROUP BY m.batch_id)
+    SELECT b.doc_id AS batch_id,
+           CASE WHEN bex.exact_id IS NOT NULL THEN 'exact_dup'
+                WHEN near.near_id IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS verdict,
+           COALESCE(bex.exact_id, near.near_id) AS matched_id
+    FROM b
+    LEFT JOIN bex ON bex.batch_id = b.doc_id
+    LEFT JOIN near ON near.batch_id = b.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: classify a deterministic ~25% ingest
+    batch against the remaining corpus — exact_dup (md5), near_dup (LSH band
+    + verified shingle Jaccard ≥ 1/2), or novel."""
+    docs = load(spark, sf_dir, "documents")
+    is_batch = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(*"0123")
+    return D.incremental_dedup(
+        docs.filter(~is_batch), docs.filter(is_batch), "doc_id", "text",
+        n=3, num_hashes=8, bands=2, threshold_num=1, threshold_den=2,
+    )

@@ -316,3 +316,119 @@ def embedding_near_dups(
     return sim.filter(F.col("cos_sim") >= threshold).select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
+
+
+# -- incremental (cross-snapshot) dedup ----------------------------------------
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Classify a NEW ingest batch against an EXISTING corpus snapshot —
+    the production shape of dedup at 100 TB: the corpus is the crawl to
+    date, the batch is today's increment, and re-deduplicating the whole
+    union every day is exactly what must not happen.
+
+    Verdict per batch doc (precedence order):
+      - ``exact_dup``: byte-identical text exists in the corpus
+        (md5 equi-join; ``matched_id`` = min such corpus id);
+      - ``near_dup``: shares a full LSH band with a corpus doc AND the
+        exact shingle Jaccard (verified, candidates only) clears
+        ``threshold_num/threshold_den`` (``matched_id`` = min verified
+        corpus id);
+      - ``novel``: neither — the only rows that enter the corpus.
+
+    Scale shape: batch-side work is O(|batch|); corpus-side work is one
+    signature pass (at deploy scale the corpus signatures/banded buckets are
+    PRECOMPUTED and stored — they are append-only state like the URL-seen
+    set, so the daily cost is the batch side plus a bucket-join against the
+    stored bands).  Shingle verification joins only candidate docs' shingle
+    sets, never corpus×batch.  Batch-vs-corpus joins are on well-mixed md5
+    keys; the band join inherits LSH's bucket cap behavior."""
+    bid, cid = F.col(id_col).alias("batch_id"), F.col(id_col).alias("corpus_id")
+    rows_per_band = num_hashes // bands
+    b_ids = batch.select(bid)
+    # exact layer
+    c_exact = (
+        corpus.select(F.md5(F.col(text_col)).alias("content_hash"), cid)
+        .groupBy("content_hash")
+        .agg(F.min("corpus_id").alias("exact_id"))
+    )
+    b_hash = batch.select(bid, F.md5(F.col(text_col)).alias("content_hash"))
+    exact = b_hash.join(c_exact, "content_hash", "left").select("batch_id", "exact_id")
+    # near layer: LSH bands both sides, candidates = (batch, corpus) bucket hits
+    b_sh = word_shingles(batch, id_col, text_col, n)
+    c_sh = word_shingles(corpus, id_col, text_col, n)
+    b_sigs = minhash_signatures(batch, id_col, text_col, n, num_hashes, shingles=b_sh)
+    c_sigs = minhash_signatures(corpus, id_col, text_col, n, num_hashes, shingles=c_sh)
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.col("sig")[b * rows_per_band + r]
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    cands = (
+        banded(b_sigs.withColumnRenamed(id_col, id_col), "batch_id")
+        .join(banded(c_sigs, "corpus_id"), ["band", "bucket"])
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    b_sizes = b_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb"))
+    c_sizes = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nc"))
+    common = (
+        cands.join(b_sh.select(F.col(id_col).alias("batch_id"), "shingle"), "batch_id")
+        .join(
+            c_sh.select(F.col(id_col).alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    near = (
+        common.join(b_sizes.select(F.col(id_col).alias("batch_id"), "nb"), "batch_id")
+        .join(c_sizes.select(F.col(id_col).alias("corpus_id"), "nc"), "corpus_id")
+        .filter(
+            F.col("common") * threshold_den
+            >= (F.col("nb") + F.col("nc") - F.col("common")) * threshold_num
+        )
+        .groupBy("batch_id")
+        .agg(F.min("corpus_id").alias("near_id"))
+    )
+    return (
+        b_ids.join(exact, "batch_id", "left")
+        .join(near, "batch_id", "left")
+        .select(
+            "batch_id",
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce("exact_id", "near_id").alias("matched_id"),
+        )
+    )

@@ -80,3 +80,34 @@ def test_stop_shingle_guard(spark):
     unguarded = D.jaccard_pairs(docs, "doc_id", "text", 3, 1, 10)
     guarded = D.jaccard_pairs(docs, "doc_id", "text", 3, 1, 10, max_df=3)
     assert guarded.count() < unguarded.count()
+
+
+def test_incremental_dedup_verdicts(spark):
+    from nrsr_crawler_spark.operators.dedup import incremental_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different corpus text with its own words here now"),
+            (3, base + " lambda"),  # sibling of the near-dup below
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base),  # exact dup of corpus 1
+            (101, base + " mu"),  # near dup of 1/3 (high shingle overlap)
+            (102, "totally novel words nowhere else seen in any snapshot at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["batch_id"]: (r["verdict"], r["matched_id"])
+        for r in incremental_dedup(corpus, batch, "doc_id", "text").collect()
+    }
+    assert out[100] == ("exact_dup", 1)
+    assert out[101][0] == "near_dup" and out[101][1] in (1, 3)
+    assert out[102] == ("novel", None)
+    # every batch doc gets exactly one verdict row
+    assert len(out) == 3
