@@ -283,3 +283,22 @@ def test_bm25_broadcasts_query_terms_and_stats(spark):
 
     plan = _plan(QUERIES["text_bm25_topk"](spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_third_wave_ops_stay_jvm_side_no_cartesian(spark):
+    """HLL / bigram coherence / incremental dedup: pure DataFrame plans —
+    no Python rows, no pandas UDF, no cartesian; the bigram top-k is a
+    TakeOrderedAndProject (never a global sort of the bigram table)."""
+    import nrsr_crawler_spark.entry_queries_ml  # noqa: F401 — registers queries
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    for name in ("sketch_hll_tokens", "text_bigram_coherence", "dedup_incremental"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = _plan(QUERIES["text_bigram_coherence"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # scoring joins the k-row top table broadcast-side
+    assert "BroadcastHashJoin" in plan
