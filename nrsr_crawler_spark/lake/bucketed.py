@@ -47,7 +47,33 @@ def write_bucketed(
     Sorting within buckets means the SMJ reads both sides pre-sorted (no
     per-task sort at 1 GB/bucket scale matters), and that point lookups can
     binary-search row groups via parquet min/max.
+
+    Overwrite is made idempotent ACROSS sessions: a fresh session's
+    metastore does not know tables a previous session wrote, so a bare
+    ``saveAsTable`` would attempt CREATE and fail on the leftover directory
+    (LOCATION_ALREADY_EXISTS).  We drop the catalog entry if present and
+    clear a stray location the catalog lost track of before writing.
     """
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if "." in table:
+            db, name = table.split(".", 1)
+            try:
+                loc_row = [
+                    r
+                    for r in spark.sql(f"DESCRIBE DATABASE {db}").collect()
+                    if r[0].strip().lower() in ("location", "location uri")
+                ]
+                if loc_row:
+                    import shutil
+                    from urllib.parse import urlparse
+
+                    p = urlparse(loc_row[0][1]).path
+                    if p:
+                        shutil.rmtree(f"{p.rstrip('/')}/{name}", ignore_errors=True)
+            except Exception:
+                pass  # db may not exist yet — CREATE below will place it
     (
         df.write.mode(mode)
         .format("parquet")
