@@ -1935,3 +1935,166 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(~is_batch), docs.filter(is_batch), "doc_id", "text",
         n=3, num_hashes=8, bands=2, threshold_num=1, threshold_den=2,
     )
+
+
+# -- per-source boilerplate stripping (text.strip_boilerplate_blocks) ---------
+#
+# CCNet-style frequency-based removal: a block is boilerplate within its
+# source iff >=2 distinct docs of that source contain it (and >=1% of the
+# source's docs); EVERY occurrence is stripped — contrast text_block_dedup's
+# global first-occurrence-wins.  Same disjoint-block CTEs as that oracle.
+
+
+@query(
+    "text_boilerplate_strip",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS tk,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / 5.0) AS INT)
+               END AS nb
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, source, i - 1 AS pos,
+               array_to_string(tk[(i-1)*5+1 : (i-1)*5+5], ' ') AS block
+        FROM toks, UNNEST(CASE WHEN nb > 0 THEN range(1, nb + 1) ELSE [] END) AS u(i)
+    ),
+    freq AS (
+        SELECT source, md5(block) AS bkey, COUNT(DISTINCT doc_id) AS doc_freq
+        FROM blocks GROUP BY source, md5(block)
+    ),
+    gsz AS (SELECT source, COUNT(*) AS gdocs FROM documents GROUP BY source),
+    flagged AS (
+        SELECT source, bkey FROM freq JOIN gsz USING (source)
+        WHERE doc_freq >= 2 AND doc_freq * 10000 >= gdocs * 100
+    ),
+    tagged AS (
+        SELECT b.doc_id, b.source, b.pos, b.block, f.bkey IS NULL AS kept
+        FROM blocks b LEFT JOIN flagged f
+          ON f.source = b.source AND f.bkey = md5(b.block)
+    ),
+    per_doc AS (
+        SELECT doc_id, source, COUNT(*) AS n_blocks,
+               CAST(SUM(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS boiler_blocks,
+               COALESCE(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '') AS clean_text
+        FROM tagged GROUP BY doc_id, source
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(n_blocks, 0) AS n_blocks,
+           COALESCE(boiler_blocks, 0) AS boiler_blocks,
+           COALESCE(clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN per_doc USING (doc_id, source)
+    """,
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-block removal (CCNet-style frequency threshold
+    — every occurrence stripped, unlike C4's keep-one in text_block_dedup)."""
+    return T.strip_boilerplate_blocks(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        k=5, min_docs=2, min_doc_bps=100,
+    )
+
+
+# -- leak-safe splits + quality keep-one over the near-dup graph --------------
+#
+# Both reuse the verified-minhash-pair CC fixpoint (same CTEs as
+# dedup_minhash_groups); split bands are the first hex nibble of md5(id) —
+# engine-portable, no engine hash.
+
+_MINHASH_CC_CTES = f"""{SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_MINHASH_SQL} FROM sh GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bucket FROM sigs
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    prs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    vpairs AS (
+        SELECT p.id_a, p.id_b
+        FROM prs p
+        JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+        JOIN cands c ON c.id_a = p.id_a AND c.id_b = p.id_b
+        WHERE p.common * 2 >= (sa.n + sb.n - p.common) * 1
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+              UNION ALL SELECT id_b, id_a FROM vpairs),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    cc AS (SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id)"""
+
+_SPLIT_CASE = (
+    "CASE substr(md5(CAST({col} AS VARCHAR)), 1, 1) "
+    "WHEN '0' THEN 'val' WHEN '1' THEN 'test' ELSE 'train' END"
+)
+
+
+@query(
+    "train_split_leakage",
+    f"""
+    WITH RECURSIVE {_MINHASH_CC_CTES},
+    rawsplit AS (
+        SELECT doc_id, {_SPLIT_CASE.format(col='doc_id')} AS split_raw FROM documents
+    ),
+    rep AS (
+        SELECT DISTINCT group_id, {_SPLIT_CASE.format(col='group_id')} AS split_final
+        FROM cc
+    )
+    SELECT c.doc_id, c.group_id, r.split_raw, p.split_final,
+           r.split_raw <> p.split_final AS moved
+    FROM cc c JOIN rawsplit r USING (doc_id) JOIN rep p USING (group_id)
+    """,
+)
+def train_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-safe train/val/test assignment: md5-band raw splits overridden
+    group-consistently over near-dup components, `moved` marking the
+    documents that would have leaked across splits."""
+    from nrsr_crawler_spark.operators.splits import assign_splits_leak_safe
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=2,
+        threshold_num=1, threshold_den=2,
+    ).select("id_a", "id_b")
+    return assign_splits_leak_safe(docs, pairs, id_col="doc_id")
+
+
+@query(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_MINHASH_CC_CTES},
+    ranked AS (
+        SELECT c.group_id, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.group_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY c.group_id) AS n_members
+        FROM cc c JOIN documents d USING (doc_id)
+    )
+    SELECT group_id, n_members, doc_id AS kept_id, n_chars AS kept_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-one per near-dup component (longest member wins,
+    ties → min id) — dedup that discards the WORSE copy, not an arbitrary
+    one."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=2,
+        threshold_num=1, threshold_den=2,
+    ).select("id_a", "id_b")
+    return D.neardup_keep_best(docs, pairs, "doc_id", "n_chars")

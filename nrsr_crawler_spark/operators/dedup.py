@@ -432,3 +432,46 @@ def incremental_dedup(
             F.coalesce("exact_id", "near_id").alias("matched_id"),
         )
     )
+
+
+def neardup_keep_best(
+    docs: DataFrame, pairs: DataFrame, id_col: str, quality_col: str
+) -> DataFrame:
+    """Quality-aware keep-one over near-dup components — the TEXT counterpart
+    of image_dedup.neardup_manifest: instead of keeping the min-id member,
+    keep the HIGHEST-QUALITY member of every connected component (ties → min
+    id), so dedup removes the worse copy, not an arbitrary one.
+
+    ``docs`` carries ``id_col`` and an integer ``quality_col`` (e.g. the
+    classifier_quality_filter logit — integer so argmax is exact in any
+    engine); ``pairs`` is the verified near-dup edge set (id_a, id_b).
+
+    Output: one row per component ``(group_id, n_members, kept_id,
+    kept_quality)``.
+
+    Scale shape: components from the bounded-round min-label kernel; the
+    winner per component is ONE partial-aggregated min(struct(-quality, id))
+    groupBy — no window, no all-pairs, no UDF."""
+    from nrsr_crawler_spark.operators.image_dedup import phash_connected_groups
+
+    labels = phash_connected_groups(
+        pairs.select("id_a", "id_b"), docs.select(id_col), id_col=id_col
+    )
+    member_q = labels.join(docs.select(id_col, quality_col), id_col)
+    return (
+        member_q.groupBy(F.col("rep").alias("group_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(
+                F.struct(
+                    (-F.col(quality_col)).alias("nq"), F.col(id_col).alias("i")
+                )
+            ).alias("w"),
+        )
+        .select(
+            "group_id",
+            "n_members",
+            F.col("w.i").alias("kept_id"),
+            (-F.col("w.nq")).alias("kept_quality"),
+        )
+    )

@@ -245,6 +245,27 @@ def duplicated_span_stats(
     )
 
 
+def _disjoint_blocks(df: DataFrame, text_col: str, k: int, *keep_cols) -> DataFrame:
+    """Explode each document into its disjoint ``k``-token blocks:
+    one row per (``keep_cols``…, pos, block, bkey=md5(block)).  Shared by
+    the block-dedup and boilerplate-strip operators so both see identical
+    block boundaries."""
+    tk = tokens(F.col(text_col))
+    n_blocks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.ceil(F.size(tk) / F.lit(k)).cast("int"))
+    blocks_arr = F.when(
+        n_blocks > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_blocks),
+            lambda i: F.array_join(F.slice(tk, (i - 1) * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(*keep_cols, F.posexplode(blocks_arr).alias("pos", "block")).withColumn(
+        "bkey", F.md5("block")
+    )
+
+
 def remove_duplicate_blocks(
     df: DataFrame, id_col: str, text_col: str, k: int = 10
 ) -> DataFrame:
@@ -271,20 +292,7 @@ def remove_duplicate_blocks(
     bounded by the document's own length.  No all-pairs product, no window
     over the corpus, no UDF — three linear passes.
     """
-    tk = tokens(F.col(text_col))
-    n_blocks = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-    ).otherwise(F.ceil(F.size(tk) / F.lit(k)).cast("int"))
-    blocks_arr = F.when(
-        n_blocks > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_blocks),
-            lambda i: F.array_join(F.slice(tk, (i - 1) * k + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    b = df.select(F.col(id_col), F.posexplode(blocks_arr).alias("pos", "block")).withColumn(
-        "bkey", F.md5("block")
-    )
+    b = _disjoint_blocks(df, text_col, k, F.col(id_col))
     winners = b.groupBy("bkey").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("w")
     )
@@ -523,5 +531,83 @@ def bigram_coherence(
                 F.expr("(coalesce(top_hits, 0) * 10000) div size(bg)")
             )
             .alias("coherence_bps"),
+        )
+    )
+
+
+def strip_boilerplate_blocks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+    min_doc_bps: int = 0,
+) -> DataFrame:
+    """Per-group (per-host / per-source) boilerplate REMOVAL, CCNet-style
+    (Wenzek et al., arXiv:1911.00359 strip repeated lines per shard; nav
+    bars, cookie banners, footers repeat across one site's pages).  The
+    frequency-threshold counterpart of :func:`remove_duplicate_blocks`:
+    C4 keeps the FIRST occurrence of a duplicated span globally, while
+    boilerplate is defined by how many of the group's documents contain the
+    block — and every occurrence is stripped, the first included.
+
+    A block is boilerplate within its group iff it appears in
+    ``>= min_docs`` distinct documents AND in ``>= min_doc_bps`` basis
+    points of the group's documents (both integer-exact).  Blocks are the
+    same disjoint ``k``-token spans as the block-dedup operator (the
+    synthetic corpus has no newlines; on real pages the splitter would be
+    line-level).
+
+    Output: ``(id, group, n_blocks, boiler_blocks, clean_text)``.
+
+    Scale shape (100 TB): one block explode (|tokens|/k rows), a distinct +
+    partial-aggregated count on (group, bkey) — fixed-width md5 keys, well
+    mixed, no skew even when one host dominates the corpus — one tiny
+    group-size aggregate joined group-wise, then one hash join of blocks
+    against the flagged set on the same mixed key and a per-document
+    rebuild groupBy bounded by each document's own length.  No window over
+    the corpus, no all-pairs, no UDF."""
+    b = _disjoint_blocks(df, text_col, k, F.col(id_col), F.col(group_col))
+    docfreq = (
+        b.select(group_col, "bkey", id_col)
+        .distinct()
+        .groupBy(group_col, "bkey")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    gsize = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gdocs"))
+    flagged = (
+        docfreq.join(F.broadcast(gsize), group_col)
+        .filter(
+            (F.col("doc_freq") >= min_docs)
+            & (F.col("doc_freq") * 10000 >= F.col("__gdocs") * min_doc_bps)
+        )
+        .select(group_col, "bkey", F.lit(True).alias("__boiler"))
+    )
+    tagged = b.join(flagged, [group_col, "bkey"], "left").withColumn(
+        "kept", F.col("__boiler").isNull()
+    )
+    per_doc = tagged.groupBy(id_col, group_col).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("boiler_blocks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("pos", "block")))
+                ),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(id_col, group_col)
+        .join(per_doc, [id_col, group_col], "left")
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+            F.coalesce("boiler_blocks", F.lit(0)).cast("long").alias("boiler_blocks"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )

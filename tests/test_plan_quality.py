@@ -302,3 +302,16 @@ def test_third_wave_ops_stay_jvm_side_no_cartesian(spark):
     assert "TakeOrderedAndProject" in plan
     # scoring joins the k-row top table broadcast-side
     assert "BroadcastHashJoin" in plan
+
+
+def test_fourth_wave_ops_stay_jvm_side_no_cartesian(spark):
+    """Boilerplate strip / leak-safe splits / keep-best: pure DataFrame
+    plans — no Python rows, no pandas UDF, no cartesian product."""
+    import nrsr_crawler_spark.entry_queries_ml  # noqa: F401 — registers queries
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    for name in ("text_boilerplate_strip", "train_split_leakage", "dedup_keep_best"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name

@@ -294,3 +294,79 @@ def test_chunk_documents_exact_multiple_no_empty_tail(spark):
     out = chunk_documents(df, "doc_id", "text", size=3, stride=3).collect()
     assert len(out) == 2
     assert {r["chunk_text"] for r in out} == {"a b c", "d e f"}
+
+
+# -- per-source boilerplate stripping ------------------------------------------
+
+
+def test_strip_boilerplate_frequency_threshold(spark):
+    from nrsr_crawler_spark.operators.text import strip_boilerplate_blocks
+
+    # k=3 blocks.  "nav bar x" appears in 2 of host-a's 3 docs → boilerplate
+    # there; the SAME block appears once on host-b → NOT boilerplate on b
+    # (frequency is per group).  Unlike C4 keep-one, ALL occurrences on
+    # host-a are stripped, including the first.
+    df = spark.createDataFrame(
+        [
+            (1, "a", "nav bar x p q r"),
+            (2, "a", "nav bar x s t u"),
+            (3, "a", "v w x y z zz"),
+            (4, "b", "nav bar x only here"),
+        ],
+        "doc_id long, host string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_blocks(
+            df, "doc_id", "text", "host", k=3, min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "p q r" and out[1]["boiler_blocks"] == 1
+    assert out[2]["clean_text"] == "s t u" and out[2]["boiler_blocks"] == 1
+    assert out[3]["boiler_blocks"] == 0
+    # host-b sees the block only once → kept verbatim
+    assert out[4]["clean_text"] == "nav bar x only here"
+    assert out[4]["boiler_blocks"] == 0
+
+
+def test_strip_boilerplate_min_doc_bps_gate(spark):
+    from nrsr_crawler_spark.operators.text import strip_boilerplate_blocks
+
+    # 10 docs on one host, a block shared by exactly 2 → doc_freq 2 = 2000
+    # bps.  min_doc_bps=3000 suppresses the flag; 2000 allows it.
+    rows = [(i, "h", f"unique{i} tok{i} fill{i}") for i in range(8)]
+    rows += [(8, "h", "foo bar baz a b c"), (9, "h", "foo bar baz d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+
+    strict = strip_boilerplate_blocks(
+        df, "doc_id", "text", "host", k=3, min_docs=2, min_doc_bps=3000
+    )
+    assert all(r["boiler_blocks"] == 0 for r in strict.collect())
+
+    loose = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_blocks(
+            df, "doc_id", "text", "host", k=3, min_docs=2, min_doc_bps=2000
+        ).collect()
+    }
+    assert loose[8]["clean_text"] == "a b c" and loose[8]["boiler_blocks"] == 1
+    assert loose[9]["clean_text"] == "d e f" and loose[9]["boiler_blocks"] == 1
+
+
+def test_strip_boilerplate_in_doc_repeat_not_boilerplate(spark):
+    from nrsr_crawler_spark.operators.text import strip_boilerplate_blocks
+
+    # a block repeated INSIDE one doc has doc_freq 1 — frequency is distinct
+    # docs, so it survives (C4 block-dedup would remove the second copy)
+    df = spark.createDataFrame(
+        [(1, "h", "p q r p q r"), (2, "h", "x y z w w2 w3"), (3, "h", "")],
+        "doc_id long, host string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_blocks(
+            df, "doc_id", "text", "host", k=3, min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "p q r p q r" and out[1]["boiler_blocks"] == 0
+    assert out[3]["n_blocks"] == 0 and out[3]["clean_text"] == ""
