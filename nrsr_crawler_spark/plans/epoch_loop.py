@@ -87,7 +87,7 @@ FRONTIER_SCHEMA = (
 )
 FETCHLOG_SCHEMA = (
     "url_hash long, canon_url string, seq long, depth int, pop_rank int, "
-    "status string, attempt int"
+    "status string, attempt int, content_hash string"
 )
 EXPIRED_SCHEMA = "url_hash long, mode string, epoch int"
 EDGES_SCHEMA = "parent_hash long, parent_seq long, child_idx int, url string, canon_url string, url_hash long"
@@ -103,6 +103,7 @@ class CrawlStats:
     items: int
     retried: int = 0
     failed: int = 0
+    not_modified: int = 0
 
 
 class CrawlEngine:
@@ -135,6 +136,7 @@ class CrawlEngine:
         age_priority_every: int | None = None,
         max_retries: int = retry_ops.DEFAULT_MAX_RETRIES,
         retry_priority_adjust: int = retry_ops.DEFAULT_PRIORITY_ADJUST,
+        http_cache: bool = False,
     ):
         self.spark = spark
         self.lake = EpochLake(lake_root)
@@ -215,6 +217,16 @@ class CrawlEngine:
         # ``max_retries`` extra attempts, then logged status='failed'.
         self.max_retries = max_retries
         self.retry_priority_adjust = retry_priority_adjust
+        # HTTP-cache revalidation (HTTPCACHE_STORAGE is configured in the
+        # reference, /root/reference/nrsr/settings.py:115, with the cache
+        # switch left at Scrapy's default OFF — same default here): when on,
+        # a REFETCHED page whose body validator (md5 content hash, the
+        # ETag/Last-Modified stand-in for the deterministic page table)
+        # matches its last logged fetch is a 304 — logged status=
+        # 'not_modified' and SKIPPED by parse/children/items, so a refresh
+        # crawl over a mostly-unchanged site costs fetch + hash, not
+        # re-extraction.  Off = every popped page parses (reference parity).
+        self.http_cache = http_cache
         # page table keyed by canonical fingerprint (the deterministic "server").
         # Content-encoding (gzip/deflate) is inflated HERE, once, at the source
         # boundary (HttpCompressionMiddleware parity, sources/compression.py) —
@@ -727,6 +739,26 @@ class CrawlEngine:
             fetched_log = fetched_log.withColumn("status", F.lit("ok")).withColumn(
                 "attempt", F.lit(0)
             )
+        if "content_hash" not in fetched_log.columns:
+            # lake written before http-cache revalidation existed: no
+            # validator recorded → every refetch re-parses (correct, just
+            # cache-cold)
+            fetched_log = fetched_log.withColumn(
+                "content_hash", F.lit(None).cast("string")
+            )
+        # http-cache validators must be captured BEFORE tombstones clear the
+        # fetch status below — a refetch tombstone is exactly the row whose
+        # prior hash the revalidation check needs.  Latest hash per URL from
+        # the compacted base + tail; materialized once per run.
+        prior_hashes = None
+        if self.http_cache:
+            prior_hashes = (
+                fetched_log.filter(F.col("content_hash").isNotNull())
+                .groupBy("url_hash")
+                .agg(F.max(F.struct("epoch", "content_hash")).alias("w"))
+                .select("url_hash", F.col("w.content_hash").alias("__prior_hash"))
+                .localCheckpoint()
+            )
         # recrawl/TTL tombstones (see expire()): 'forget' evicts the URL from
         # frontier+seen entirely (re-enqueued only on re-discovery); both
         # modes clear its fetched status so surviving frontier entries become
@@ -782,7 +814,7 @@ class CrawlEngine:
             )
 
         total_fetched = total_enqueued = total_items = 0
-        total_retried = total_failed = 0
+        total_retried = total_failed = total_not_modified = 0
         # mid-retry side state: (url_hash, attempt) — bounded by URLs whose
         # last fetch failed transiently (≤ one pop batch), NOT crawl history.
         # Driver-session-scoped: on crash/resume, in-flight retry counters
@@ -887,6 +919,33 @@ class CrawlEngine:
                 fetched_raw = fetched_raw.withColumn(
                     "__att", F.lit(0)
                 ).withColumn("__transient", F.lit(False))
+            if self.http_cache:
+                # 304 revalidation: prior validators pruned to this batch by
+                # a broadcast semi-join (never shuffles the O(seen) hash
+                # table), then broadcast back onto the batch.  The validator
+                # is md5(body) — one JVM pass, only when the cache is on.
+                prior_batch = prior_hashes.join(
+                    F.broadcast(batch.select("url_hash")), "url_hash", "left_semi"
+                )
+                fetched_raw = (
+                    fetched_raw.join(F.broadcast(prior_batch), "url_hash", "left")
+                    .withColumn(
+                        "__cur_hash",
+                        F.when(F.col("body").isNotNull(), F.md5(F.col("body"))),
+                    )
+                    .withColumn(
+                        "__not_modified",
+                        (~F.col("__transient"))
+                        & F.col("__cur_hash").isNotNull()
+                        & F.col("__prior_hash").isNotNull()
+                        & (F.col("__cur_hash") == F.col("__prior_hash")),
+                    )
+                    .drop("__prior_hash")
+                )
+            else:
+                fetched_raw = fetched_raw.withColumn(
+                    "__cur_hash", F.lit(None).cast("string")
+                ).withColumn("__not_modified", F.lit(False))
             if self.typed_items:
                 # ONE dialect-tag pass per body (VERDICT r2 finding #3): every
                 # typed extractor below filters on this cached column instead
@@ -912,6 +971,13 @@ class CrawlEngine:
             # successes + exhausted failures are DONE (logged); re-scheduled
             # attempts never reach the log, so they stay pending
             fetched = fetched_raw.filter(~F.col("__transient"))
+            # 304s are logged but feed neither children nor items — their
+            # prior extraction is still current by definition
+            fresh = (
+                fetched.filter(~F.col("__not_modified"))
+                if self.http_cache
+                else fetched
+            )
 
             # meta-robots gate (one JVM regexp per body, only when enabled):
             # nofollow pages feed no children, noindex pages feed no items
@@ -923,15 +989,15 @@ class CrawlEngine:
                         1,
                     )
                 )
-                fetched = fetched.withColumn("__meta_robots", directives)
-                child_src = fetched.filter(
+                fresh = fresh.withColumn("__meta_robots", directives)
+                child_src = fresh.filter(
                     ~F.col("__meta_robots").contains("nofollow")
                 )
-                item_src = fetched.filter(
+                item_src = fresh.filter(
                     ~F.col("__meta_robots").contains("noindex")
                 )
             else:
-                child_src = item_src = fetched
+                child_src = item_src = fresh
 
             # children: resolve reference-style (absolute pass-through, else
             # BASE_URL concat — members.py:76), canon+hash+robots at schedule time
@@ -989,17 +1055,25 @@ class CrawlEngine:
             obs_edges = Observation()
             obs_frontier = Observation()
             obs_items = Observation()
+            obs_log = Observation()
             writes: list[tuple[str, DataFrame]] = [
                 ("fetch_log", fetched_raw.filter(~retry_again).select(
                     "url_hash", "canon_url", "seq", "depth", F.col("grk").alias("pop_rank"),
                     # 'missing' = popped URL with no page behind it (the 404
                     # path — logged, never retried, Scrapy-default parity);
-                    # 'failed' = transient budget exhausted (5xx path).
+                    # 'failed' = transient budget exhausted (5xx path);
+                    # 'not_modified' = http-cache 304 (validator matched —
+                    # logged so the NEXT refetch compares against this epoch).
                     F.when(F.col("__transient"), F.lit("failed"))
+                    .when(F.col("__not_modified"), F.lit("not_modified"))
                     .when(F.col("body").isNull(), F.lit("missing"))
                     .otherwise(F.lit("ok"))
                     .alias("status"),
                     F.col("__att").alias("attempt"),
+                    F.col("__cur_hash").alias("content_hash"),
+                ).observe(
+                    obs_log,
+                    F.sum((F.col("status") == "not_modified").cast("int")).alias("nm"),
                 )),
                 ("edges", edges.select(
                     "parent_hash", "parent_seq", "child_idx", "url", "canon_url", "url_hash"
@@ -1060,6 +1134,10 @@ class CrawlEngine:
             if self._retries_enabled:
                 meta["retried"] = n_retry
                 meta["failed"] = n_gaveup
+            if self.http_cache:
+                n_not_modified = int(obs_log.get["nm"] or 0)
+                meta["not_modified"] = n_not_modified
+                total_not_modified += n_not_modified
             self.lake.commit(epoch, meta)
             if self.compact_every and epoch > 0 and epoch % self.compact_every == 0:
                 self.compact()
@@ -1140,6 +1218,8 @@ class CrawlEngine:
             fetched_raw.unpersist()
             edges.unpersist()
         pending.unpersist()
+        if prior_hashes is not None:
+            prior_hashes.unpersist()
         if self._segments is not None:
             self._segments.unpersist()
         if self._seg_bc is not None:
@@ -1152,6 +1232,7 @@ class CrawlEngine:
             items=total_items,
             retried=total_retried,
             failed=total_failed,
+            not_modified=total_not_modified,
         )
 
     # -- final state ----------------------------------------------------------
