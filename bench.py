@@ -44,6 +44,7 @@ HEADLINE = [
     "images_quality_gate",  # decoded-pixel content gate: Arrow decode throughput
     "text_block_dedup",  # C4-style corpus-level span removal + doc rebuild
     "dedup_semantic",  # SemDeDup: codebook cells + within-cell cosine keep-one
+    "text_boilerplate_strip",  # CCNet-style per-source frequent-block removal
 ]
 
 
