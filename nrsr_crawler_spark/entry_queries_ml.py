@@ -2098,3 +2098,51 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_num=1, threshold_den=2,
     ).select("id_a", "id_b")
     return D.neardup_keep_best(docs, pairs, "doc_id", "n_chars")
+
+
+# -- trained coarse quantizer: fixed-iteration integer k-means ----------------
+#
+# The IVF codebook upgrade path: 2 Lloyd iterations unrolled in the oracle.
+# Distances are the integer L2 expansion on quantize_vec doubles, centroid
+# updates floor(sum/count) per dimension — integral doubles end-to-end, so
+# assignment/update/final cells are bit-identical across engines.
+
+
+@query(
+    "train_kmeans_cells",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < 4),
+    d1 AS (SELECT v.vec_id, c.cid,
+                  list_dot_product(v.qv, v.qv) - 2 * list_dot_product(v.qv, c.cv)
+                      + list_dot_product(c.cv, c.cv) AS d
+           FROM v CROSS JOIN c0 c),
+    a1 AS (SELECT vec_id, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1
+           ) WHERE rn = 1),
+    comp AS (SELECT vec_id, pos, qv[pos] AS val
+             FROM v, UNNEST(generate_series(1, 64)) AS t(pos)),
+    m1 AS (SELECT a1.cid, comp.pos, FLOOR(SUM(comp.val) / COUNT(*)) AS cval
+           FROM comp JOIN a1 USING (vec_id) GROUP BY a1.cid, comp.pos),
+    c1 AS (SELECT c0.cid, COALESCE(m.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN (
+               SELECT cid, list(cval ORDER BY pos) AS cv FROM m1 GROUP BY cid
+           ) m USING (cid)),
+    d2 AS (SELECT v.vec_id, c.cid,
+                  list_dot_product(v.qv, v.qv) - 2 * list_dot_product(v.qv, c.cv)
+                      + list_dot_product(c.cv, c.cv) AS d
+           FROM v CROSS JOIN c1 c)
+    SELECT vec_id, cid AS cell, CAST(d AS BIGINT) AS dist2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2
+    ) WHERE rn = 1
+    """,
+)
+def train_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer k-means (2 Lloyd passes, k=4): the trained
+    coarse-quantizer assignment for IVF/SemDeDup — oracle-exact because
+    quantization, L2, and floor-div centroid updates are all integral."""
+    return SIM.kmeans_fixed(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=4, iterations=2
+    )

@@ -96,6 +96,57 @@ def bruteforce_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _l2_to(qcol: Column, cvec: list[float]) -> Column:
+    """Integer-exact squared L2 from a quantized vector column to a literal
+    centroid (integral doubles throughout — shared by IVF and k-means)."""
+    lit_c = F.array(*[F.lit(v) for v in cvec])
+    return F.aggregate(
+        F.zip_with(qcol, lit_c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, val: a + val,
+    )
+
+
+def _best_cell(qcol: Column, centroids: dict[int, list[float]]) -> Column:
+    """struct<d, cid> of the nearest centroid (ties → smaller cid)."""
+    dists = F.array(
+        *[
+            F.struct(_l2_to(qcol, cv).alias("d"), F.lit(cid).alias("cid"))
+            for cid, cv in sorted(centroids.items())
+        ]
+    )
+    return F.element_at(F.array_sort(dists), 1)
+
+
+def _lloyd_refine(
+    v: DataFrame, centroids: dict[int, list[float]], iterations: int
+) -> dict[int, list[float]]:
+    """``iterations`` Lloyd update passes over a frame with quantized column
+    ``__q``: assign (map-side literal argmin) → per-(cell, dim)
+    floor(sum/count) means (ONE partial-aggregated groupBy, K×D output rows
+    fetched as model state).  Empty cells keep their previous centroid."""
+    centroids = dict(centroids)
+    for _ in range(iterations):
+        assigned = v.select(_best_cell(F.col("__q"), centroids)["cid"].alias("cell"), "__q")
+        upd_rows = (
+            assigned.select("cell", F.posexplode("__q").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.floor(F.sum("val") / F.count(F.lit(1))).alias("cval"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        centroids.update(
+            {int(r["cell"]): [float(x) for x in r["cv"]] for r in upd_rows}
+        )
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -105,18 +156,20 @@ def ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 2,
     sim_decimals: int = 6,
+    train_iterations: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into centroid
     cells, probe the query's ``nprobe`` nearest cells, exact cosine + top-k
     among cell members only.  Same output shape as :func:`bruteforce_topk`.
 
-    Codebook: the quantized vectors of the ``n_centroids`` smallest ids — a
-    deterministic stand-in for k-means training (the pipeline shape is
-    identical with trained centroids).  The codebook is fetched ONCE to the
-    driver and inlined as literals — model state like the LSH planes, not
-    per-row data movement — so cell assignment is pure map-side column
-    expressions: zero shuffle until the bucket join.  Cell distance is
-    integer L2 over :func:`quantize_vec` vectors (exact in any engine,
+    Codebook: the quantized vectors of the ``n_centroids`` smallest ids,
+    optionally refined with ``train_iterations`` integer-exact Lloyd passes
+    (:func:`_lloyd_refine` — the trained-codebook path; assignments stay
+    oracle-exact because the whole recurrence is).  The codebook is fetched
+    ONCE to the driver and inlined as literals — model state like the LSH
+    planes, not per-row data movement — so cell assignment is pure map-side
+    column expressions: zero shuffle until the bucket join.  Cell distance
+    is integer L2 over :func:`quantize_vec` vectors (exact in any engine,
     ties→smaller centroid id), which makes the candidate set — and with
     rounded cosine the full result — DuckDB-oracle-exact.
 
@@ -132,15 +185,15 @@ def ivf_topk(
         )
         .collect()
     )
-    centroids = sorted((int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows)
-
-    def dist_to(qcol: Column, cvec: list[float]) -> Column:
-        lit_c = F.array(*[F.lit(v) for v in cvec])
-        return F.aggregate(
-            F.zip_with(qcol, lit_c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
+    cent_map = {int(r["cid"]): [float(x) for x in r["cv"]] for r in cent_rows}
+    if train_iterations > 0:
+        cv = corpus.select(
+            quantize_vec(_as_double(F.col(vec_col))).alias("__q")
+        ).localCheckpoint()
+        cent_map = _lloyd_refine(cv, cent_map, train_iterations)
+        cv.unpersist()
+    centroids = sorted(cent_map.items())
+    dist_to = _l2_to
 
     def with_cells(df: DataFrame, idc: str, probes: int) -> DataFrame:
         out = df.select(F.col(idc), _as_double(F.col(vec_col)).alias("__v")).withColumn(
@@ -395,3 +448,61 @@ def lsh_near_dup_pairs(
         F.round(cosine_sim(F.col("va"), F.col("vb")), sim_decimals).alias("cos_sim"),
     )
     return sims.filter(F.col("cos_sim") >= threshold)
+
+
+def kmeans_fixed(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over quantized vectors — the TRAINED
+    codebook the IVF docstring promises (ivf_topk ships with a min-id
+    codebook; this trains one with the same integer-exact conventions, so
+    swapping it in changes nothing above).
+
+    Exactness (the whole point): vectors quantize via :func:`quantize_vec`
+    (integral doubles), distances are the integer L2 expansion
+    q·q − 2·q·c + c·c, centroid updates are per-dimension
+    ``floor(sum/count)`` — every quantity is an integral double < 2⁵³, and
+    IEEE division is correctly rounded, so assignments, updates, and the
+    final cells are bit-identical in any engine (full DuckDB oracle with
+    the recurrence unrolled).  Ties → smaller centroid id; a cell that
+    attracts nothing keeps its previous centroid.
+
+    Init: the quantized vectors of the ``k`` smallest ids (the same
+    deterministic convention as ivf_topk's codebook).
+
+    Returns the FINAL assignment ``(id, cell, dist2)`` after ``iterations``
+    assignment passes (``iterations - 1`` centroid updates between them).
+
+    Scale shape (10^9 vectors): the centroid table is model state — K×D
+    values fetched to the driver per update (bounded, like the IVF
+    codebook) and inlined as literals, so every assignment pass is pure
+    map-side column expressions; the update is ONE partial-aggregated
+    groupBy on (cell, dim) producing K×D rows.  Per iteration: one scan +
+    one tiny shuffle, no joins against the corpus, no UDF."""
+    v = emb.select(
+        F.col(id_col), quantize_vec(_as_double(F.col(vec_col))).alias("__q")
+    ).localCheckpoint()
+    cent_rows = (
+        v.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("cid"), F.col("__q").alias("cv"))
+        .collect()
+    )
+    centroids: dict[int, list[float]] = {
+        int(r["cid"]): [float(x) for x in r["cv"]] for r in cent_rows
+    }
+    centroids = _lloyd_refine(v, centroids, iterations - 1)
+    best = _best_cell(F.col("__q"), centroids)
+    # materialize the (id, cell, dist2) result BEFORE releasing the quantized
+    # frame — its lineage was truncated by the checkpoint, so an unpersisted
+    # parent could not be recomputed by a later action
+    out = v.select(
+        F.col(id_col),
+        best["cid"].alias("cell"),
+        best["d"].cast("long").alias("dist2"),
+    ).localCheckpoint()
+    v.unpersist()
+    return out

@@ -310,7 +310,12 @@ def test_fourth_wave_ops_stay_jvm_side_no_cartesian(spark):
     import nrsr_crawler_spark.entry_queries_ml  # noqa: F401 — registers queries
     from nrsr_crawler_spark.entry_queries import QUERIES
 
-    for name in ("text_boilerplate_strip", "train_split_leakage", "dedup_keep_best"):
+    for name in (
+        "text_boilerplate_strip",
+        "train_split_leakage",
+        "dedup_keep_best",
+        "train_kmeans_cells",
+    ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name

@@ -316,3 +316,135 @@ def test_vocab_coverage_counts_and_cumshare(spark):
         for r in vocab_coverage(df, "doc_id", "text", k=10).collect()
     )
     assert rows == [(1, "a", 2, 4000), (2, "b", 2, 8000), (3, "c", 1, 10000)]
+
+
+# -- fixed-iteration integer k-means -------------------------------------------
+
+
+def _py_kmeans(vecs: dict[int, list[float]], k: int, iterations: int):
+    """Pure-Python mirror of similarity.kmeans_fixed's exact arithmetic."""
+    import math
+
+    q = {i: [float(round(x * 1000)) for x in v] for i, v in vecs.items()}
+    cents = {i: list(q[i]) for i in sorted(q) if i < k}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    assign = {}
+    for it in range(iterations):
+        assign = {
+            i: min(((d2(qv, cv), cid) for cid, cv in sorted(cents.items())))[1]
+            for i, qv in q.items()
+        }
+        if it < iterations - 1:
+            for cid in cents:
+                members = [q[i] for i, c in assign.items() if c == cid]
+                if members:
+                    cents[cid] = [
+                        math.floor(sum(col) / len(col)) for col in zip(*members)
+                    ]
+    return {
+        i: (assign[i], int(d2(q[i], cents[assign[i]]))) for i in q
+    }
+
+
+def test_kmeans_fixed_matches_python_reference(spark):
+    from nrsr_crawler_spark.operators.similarity import kmeans_fixed
+
+    import random
+
+    rng = random.Random(7)
+    # two obvious blobs + noise, 6-dim
+    vecs = {}
+    for i in range(20):
+        base = 1.0 if i % 2 == 0 else -1.0
+        vecs[i] = [base + rng.uniform(-0.2, 0.2) for _ in range(6)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # quantization happens from FLOAT storage: mirror the float32 rounding
+    f32 = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in df.collect()}
+    expected = _py_kmeans(f32, k=3, iterations=3)
+    got = {
+        r["vec_id"]: (r["cell"], r["dist2"])
+        for r in kmeans_fixed(df, k=3, iterations=3).collect()
+    }
+    assert got == expected
+
+
+def test_kmeans_fixed_empty_cell_keeps_centroid(spark):
+    from nrsr_crawler_spark.operators.similarity import kmeans_fixed
+
+    # vec 2 duplicates centroid 0's seed point, so the min-cid tiebreak
+    # drains cell 2 in iteration 1 (every point goes to 0 or 1).  Centroid 0
+    # then moves to the blob mean [33, 0] while EMPTY cell 2 must keep its
+    # seed [0, 0] — which wins vecs 0 and 2 back in iteration 2 (dist 0 vs
+    # 1089).  If the empty cell were dropped or zeroed differently, the
+    # final assignment would change — this is the retention proof.
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [0.0, 0.0]),
+        (3, [0.1, 0.0]),
+        (4, [10.1, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["cell"], r["dist2"])
+        for r in kmeans_fixed(df, k=3, iterations=2).collect()
+    }
+    expected = _py_kmeans({i: v for i, v in rows}, k=3, iterations=2)
+    assert out == expected
+    # the retained empty-cell centroid reclaims its duplicate point…
+    assert out[2][0] == 2 and out[2][1] == 0
+    # …while the moved centroid 0 keeps only the off-center member
+    assert out[3][0] == 0
+    assert out[1][0] == 1 and out[4][0] == 1
+
+
+def test_kmeans_training_reduces_distortion(spark):
+    """Lloyd's guarantee: total within-cell distortion (Σ dist2) is monotone
+    non-increasing in the iteration count — the property the trained-codebook
+    path exists for.  (Recall at fixed nprobe is NOT guaranteed to improve on
+    near-orthogonal random data, so that is deliberately not asserted.)"""
+    from nrsr_crawler_spark.operators.similarity import kmeans_fixed
+    from nrsr_crawler_spark.sources.tpch import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def distortion(iters: int) -> int:
+        return (
+            kmeans_fixed(emb, k=8, iterations=iters)
+            .agg(F.sum("dist2").alias("s"))
+            .collect()[0]["s"]
+        )
+
+    d1, d2, d3 = distortion(1), distortion(2), distortion(3)
+    assert d2 <= d1 and d3 <= d2, (d1, d2, d3)
+    assert d2 < d1  # the seed codebook is strictly improvable on this data
+
+
+def test_ivf_trained_codebook_stays_sound(spark):
+    """ivf_topk(train_iterations=2): results remain candidate-sound (every
+    neighbor comes from a probed cell) with usable recall vs brute force."""
+    from nrsr_crawler_spark.operators.similarity import bruteforce_topk, ivf_topk
+    from nrsr_crawler_spark.sources.tpch import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bruteforce_topk(emb, queries, k=5).collect()
+    }
+    trained = ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=4, train_iterations=2
+    )
+    got = {(r["query_id"], r["neighbor_id"]) for r in trained.collect()}
+    assert len(got & truth) / len(truth) >= 0.4
+    n = emb.count()
+    probed_all = ivf_topk(
+        emb, queries, k=n, n_centroids=8, nprobe=4, train_iterations=2
+    )
+    assert got <= {(r["query_id"], r["neighbor_id"]) for r in probed_all.collect()}
