@@ -2146,3 +2146,94 @@ def train_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_fixed(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=4, iterations=2
     )
+
+
+# -- content-defined chunking (text.cdc_chunk_documents) ----------------------
+#
+# Boundary AFTER token i iff h16(md5(window of 3 tokens ending at i)) % 8 = 0
+# (h16 = first 4 md5 hex nibbles as an integer — same _NIB arithmetic as the
+# simhash oracle).  The oracle uses the equivalent relational-window form of
+# the same boundary definition.
+
+_CDC_NIB = "(strpos('0123456789abcdef', substr(wh, {i}, 1)) - 1)"
+_CDC_H16 = (
+    f"({_CDC_NIB.format(i=1)} * 4096 + {_CDC_NIB.format(i=2)} * 256 "
+    f"+ {_CDC_NIB.format(i=3)} * 16 + {_CDC_NIB.format(i=4)})"
+)
+
+
+@query(
+    "text_cdc_chunks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i AS pos, tk[i] AS token, tk
+        FROM toks, UNNEST(CASE WHEN n > 0 THEN range(1, n + 1) ELSE [] END) AS u(i)
+    ),
+    b AS (
+        SELECT doc_id, pos, token,
+               CASE WHEN pos >= 3 THEN md5(array_to_string(tk[pos-2:pos], ' ')) END AS wh
+        FROM pos
+    ),
+    flags AS (
+        SELECT doc_id, pos, token,
+               CASE WHEN wh IS NOT NULL AND {_CDC_H16} % 8 = 0 THEN 1 ELSE 0 END AS bflag
+        FROM b
+    ),
+    cidx AS (
+        SELECT doc_id, pos, token,
+               CAST(COALESCE(SUM(bflag) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS chunk_idx
+        FROM flags
+    )
+    SELECT doc_id, chunk_idx, MIN(pos) AS start_pos, COUNT(*) AS n_tokens,
+           string_agg(token, ' ' ORDER BY pos) AS chunk_text,
+           md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+    FROM cidx GROUP BY doc_id, chunk_idx
+    """,
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: local-hash boundaries make chunk identity
+    robust to insertions/deletions (vs fixed blocks, which shift wholesale)
+    — the dedup-stable chunking for edit-heavy corpora."""
+    return T.cdc_chunk_documents(
+        load(spark, sf_dir, "documents"), "doc_id", "text", w=3, divisor=8
+    )
+
+
+# -- curriculum training order (sampling.curriculum_order) --------------------
+
+
+@query(
+    "train_curriculum_order",
+    """
+    WITH idx AS (
+        SELECT stratum, row_number() OVER (ORDER BY stratum) - 1 AS sidx
+        FROM (SELECT DISTINCT lang AS stratum FROM documents)
+    ),
+    n AS (SELECT COUNT(*) AS ns FROM idx),
+    r AS (
+        SELECT doc_id, lang AS stratum, n_chars AS difficulty,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS within_rank
+        FROM documents
+    )
+    SELECT doc_id, stratum, difficulty, within_rank,
+           (within_rank - 1) * ns + sidx AS order_key
+    FROM r JOIN idx USING (stratum), n
+    """,
+)
+def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum training order (short = easy) interleaved
+    round-robin across languages: difficulty rises within every stratum
+    while each curriculum prefix keeps the full language mixture."""
+    from nrsr_crawler_spark.operators.sampling import curriculum_order
+
+    docs = load(spark, sf_dir, "documents")
+    return curriculum_order(docs, "doc_id", "lang", F.col("n_chars"))

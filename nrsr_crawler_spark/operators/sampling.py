@@ -103,3 +103,52 @@ def temperature_mixture_sample(
         .filter(F.col("pick_rank") <= F.col("quota"))
         .select(F.col(id_col), F.col(strata_col), "pick_rank", "quota")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    difficulty: Column,
+) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009, easy→hard) with
+    stratified round-robin interleave: within each stratum documents rank by
+    ``(difficulty asc, id)``; the global order key is
+    ``within_rank · n_strata + stratum_index``, so consecutive positions
+    rotate through strata (no domain runs — the mixture stays uniform at
+    every curriculum prefix) while difficulty rises monotonically within
+    each stratum.
+
+    Output: ``(id, stratum, difficulty, within_rank, order_key)`` —
+    ``order_key`` is a TOTAL order (unique: one row per (rank, stratum));
+    shard writers sort by it, no global enumeration is ever materialized.
+
+    Scale shape (100 TB): one window partitioned per stratum (parallel
+    across strata; for a mega-stratum swap in stratified_topk's salted
+    two-level split — same contract) plus a |strata|-row broadcast of dense
+    stratum indexes.  No global window, no UDF."""
+    idx = (
+        df.select(F.col(strata_col).alias("stratum"))
+        .distinct()
+        .withColumn(
+            "__sidx",
+            F.row_number().over(Window.orderBy("stratum")) - 1,
+        )
+    )
+    n_strata = idx.count()
+    w = Window.partitionBy(strata_col).orderBy(difficulty, F.col(id_col))
+    ranked = df.select(
+        F.col(id_col),
+        F.col(strata_col).alias("stratum"),
+        difficulty.alias("difficulty"),
+        F.row_number().over(w).alias("within_rank"),
+    )
+    return ranked.join(F.broadcast(idx), "stratum").select(
+        F.col(id_col),
+        "stratum",
+        F.col("difficulty").cast("long").alias("difficulty"),
+        F.col("within_rank").cast("long").alias("within_rank"),
+        ((F.col("within_rank") - 1) * n_strata + F.col("__sidx"))
+        .cast("long")
+        .alias("order_key"),
+    )

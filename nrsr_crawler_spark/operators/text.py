@@ -611,3 +611,83 @@ def strip_boilerplate_blocks(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def cdc_chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (CDC — the FastCDC/rsync boundary idea,
+    token-level): a chunk boundary falls AFTER token ``i`` iff the hash of
+    the ``w``-token window ending at ``i`` satisfies ``h % divisor == 0``.
+    Boundaries depend only on LOCAL content, so an insertion or deletion
+    re-chunks a bounded neighborhood and every other chunk keeps its
+    identity — the property that makes chunk-level dedup robust to edits,
+    where fixed blocks (:func:`_disjoint_blocks`) shift wholesale after any
+    insertion.
+
+    Hash: the first 4 hex nibbles of md5 of the space-joined window — an
+    integer in [0, 65536) identical in any engine (no rolling state needed
+    for correctness; a deployment would swap in a gear hash for speed, same
+    boundaries contract).  Expected chunk length ≈ ``divisor`` tokens; no
+    min/max clamp (a clamp makes eligibility depend on the previous
+    boundary — sequential — and breaks pure content-definedness).
+
+    Output: ``(id, chunk_idx, start_pos, n_tokens, chunk_text, chunk_hash)``
+    (1-based start_pos; docs shorter than ``w`` are one chunk).
+
+    Scale shape (100 TB): boundary detection, chunk slicing, and hashing
+    are all array expressions INSIDE each row — zero shuffle, zero UDF,
+    zero windows over the corpus; chunk rows explode bounded by the doc's
+    own length (the oracle uses the equivalent relational window form)."""
+    tk = tokens(F.col(text_col))
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(tk))
+
+    def h16(win: Column) -> Column:
+        return F.conv(F.substring(F.md5(win), 1, 4), 16, 10).cast("long")
+
+    cut = F.when(
+        n >= w,
+        F.filter(
+            F.sequence(F.lit(w), n),
+            lambda i: h16(F.array_join(F.slice(tk, i - w + 1, w), " ")) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # bounds = [0, cut..., n] (distinct keeps order; n may repeat the last cut)
+    bounds = F.concat(
+        F.array(F.lit(0)), F.array_distinct(F.concat(cut, F.array(n)))
+    )
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(bounds) - 1),
+            lambda j: F.struct(
+                (j - 1).alias("chunk_idx"),
+                (F.element_at(bounds, j) + 1).alias("start_pos"),
+                (F.element_at(bounds, j + 1) - F.element_at(bounds, j)).alias(
+                    "n_tokens"
+                ),
+                F.array_join(
+                    F.slice(
+                        tk,
+                        F.element_at(bounds, j) + 1,
+                        F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+                    ),
+                    " ",
+                ).alias("chunk_text"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_idx:int,start_pos:int,n_tokens:int,chunk_text:string>>"
+    ))
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        F.col(id_col),
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.start_pos").cast("long").alias("start_pos"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_hash"),
+    )

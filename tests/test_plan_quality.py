@@ -315,6 +315,8 @@ def test_fourth_wave_ops_stay_jvm_side_no_cartesian(spark):
         "train_split_leakage",
         "dedup_keep_best",
         "train_kmeans_cells",
+        "text_cdc_chunks",
+        "train_curriculum_order",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "BatchEvalPython" not in plan, name

@@ -370,3 +370,83 @@ def test_strip_boilerplate_in_doc_repeat_not_boilerplate(spark):
     }
     assert out[1]["clean_text"] == "p q r p q r" and out[1]["boiler_blocks"] == 0
     assert out[3]["n_blocks"] == 0 and out[3]["clean_text"] == ""
+
+
+# -- content-defined chunking ----------------------------------------------
+
+
+def test_cdc_chunks_cover_document_exactly(spark):
+    from nrsr_crawler_spark.operators.text import cdc_chunk_documents
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    rows = cdc_chunk_documents(df, "doc_id", "text", w=3, divisor=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: chunks are contiguous, ordered, and rebuild the document
+    cs = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert cs[0]["start_pos"] == 1
+    for a, b in zip(cs, cs[1:]):
+        assert b["start_pos"] == a["start_pos"] + a["n_tokens"]
+        assert b["chunk_idx"] == a["chunk_idx"] + 1
+    assert " ".join(c["chunk_text"] for c in cs) == text
+    assert sum(c["n_tokens"] for c in cs) == 40
+    # doc shorter than the window: one chunk, itself
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
+    # empty doc: no chunk rows
+    assert 3 not in by_doc
+
+
+def test_cdc_chunks_are_insertion_robust(spark):
+    """THE CDC property: prepending one token re-chunks only a bounded
+    prefix — most chunk hashes survive, while fixed disjoint blocks all
+    shift.  Dedup keyed on chunk_hash therefore still matches the edited
+    document's bulk."""
+    from nrsr_crawler_spark.operators.text import cdc_chunk_documents
+
+    import random
+
+    rng = random.Random(13)
+    words = [f"w{rng.randrange(10_000)}" for _ in range(400)]
+    base = " ".join(words)
+    edited = "INSERTED " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunk_documents(df, "doc_id", "text", w=3, divisor=8).collect()
+    h1 = [r["chunk_hash"] for r in rows if r["doc_id"] == 1]
+    h2 = [r["chunk_hash"] for r in rows if r["doc_id"] == 2]
+    shared = len(set(h1) & set(h2))
+    # all but the first few boundary-shifted chunks survive the edit
+    assert shared >= 0.8 * len(h1), (shared, len(h1))
+    # contrast: fixed disjoint blocks share (almost) nothing after a shift
+    from nrsr_crawler_spark.operators.text import _disjoint_blocks
+    from pyspark.sql import functions as F
+
+    blocks = _disjoint_blocks(df, "text", 8, F.col("doc_id")).collect()
+    b1 = {r["bkey"] for r in blocks if r["doc_id"] == 1}
+    b2 = {r["bkey"] for r in blocks if r["doc_id"] == 2}
+    assert len(b1 & b2) <= 0.1 * len(b1)
+
+
+def test_cdc_boundary_definition_is_local(spark):
+    """The same w-token context produces the same boundary decision no
+    matter the document: chunks of a document embedded VERBATIM inside
+    another (at any offset past the window warm-up) reappear identically."""
+    from nrsr_crawler_spark.operators.text import cdc_chunk_documents
+
+    import random
+
+    rng = random.Random(29)
+    inner = " ".join(f"x{rng.randrange(10_000)}" for _ in range(200))
+    prefix = " ".join(f"p{rng.randrange(10_000)}" for _ in range(57))
+    df = spark.createDataFrame(
+        [(1, inner), (2, prefix + " " + inner)], "doc_id long, text string"
+    )
+    rows = cdc_chunk_documents(df, "doc_id", "text", w=3, divisor=8).collect()
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    assert len(h1 & h2) >= 0.7 * len(h1)

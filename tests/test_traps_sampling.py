@@ -133,3 +133,43 @@ def test_temperature_mixture_sample_deterministic_and_within_quota(spark):
         per_src.setdefault(src, []).append(rk)
     for src, rks in per_src.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))  # contiguous ranks
+
+
+# -- curriculum ordering ---------------------------------------------------
+
+
+def test_curriculum_order_interleaves_and_ascends(spark):
+    from pyspark.sql import functions as F
+
+    from nrsr_crawler_spark.operators.sampling import curriculum_order
+
+    rows = [
+        # (id, stratum, difficulty proxy)
+        (1, "a", 30), (2, "a", 10), (3, "a", 20),
+        (4, "b", 5), (5, "b", 50),
+        (6, "c", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, d long")
+    out = sorted(
+        curriculum_order(df, "doc_id", "src", F.col("d")).collect(),
+        key=lambda r: r["order_key"],
+    )
+    # total unique order
+    assert len({r["order_key"] for r in out}) == len(rows)
+    # the first |strata| positions are one doc from EACH stratum (round-robin)
+    first_wave = [r["stratum"] for r in out[:3]]
+    assert sorted(first_wave) == ["a", "b", "c"]
+    # and they are each stratum's EASIEST doc
+    assert {r["doc_id"] for r in out[:3]} == {2, 4, 6}
+    # difficulty ascends within every stratum along the global order
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r["stratum"], []).append(r["difficulty"])
+    for s, ds in by_stratum.items():
+        assert ds == sorted(ds), s
+    # ties/determinism: re-run produces the identical order
+    again = sorted(
+        curriculum_order(df, "doc_id", "src", F.col("d")).collect(),
+        key=lambda r: r["order_key"],
+    )
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in out]
