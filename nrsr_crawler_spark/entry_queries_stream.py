@@ -145,3 +145,63 @@ def stream_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "win_start timestamp, flag string, n_images long")
+
+
+@query(
+    "stream_sessionize",
+    """
+    WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+    l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+    f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+    s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState) over the
+    events table: per-user far-future sentinel events force every REAL
+    session closed inline, so the emitted closed-session set equals the
+    batch gap-sessionize — and the relational oracle — exactly.  (The
+    sentinels' own sessions stay open and are never emitted.)"""
+    from nrsr_crawler_spark.streaming import frontier_stream as FS
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    far = ev.agg(F.max("ts").alias("m")).collect()[0]["m"] + dt.timedelta(days=10)
+    sentinels = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            (-F.col("user_id") - 1).alias("event_id"),
+            "user_id",
+            F.lit(far).alias("ts"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="nrsr_stream_sess_")
+    src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    try:
+        ev.unionByName(sentinels).write.parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp"
+        ).parquet(src)
+        closed = FS.sessionize_stream(
+            stream, key_col="user_id", ts_col="ts", id_col="event_id",
+            gap_seconds=1800,
+        )
+        q = (
+            closed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, session_seq long, n_events long, start_us long, end_us long",
+    )

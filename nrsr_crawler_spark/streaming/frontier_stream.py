@@ -296,3 +296,103 @@ def run_frontier_stream(
         .start()
     )
     q.awaitTermination()
+
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_seq", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _session_output_schema(key_field: StructField) -> StructType:
+    return StructType(
+        [
+            key_field,
+            StructField("session_seq", LongType()),
+            StructField("n_events", LongType()),
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+        ]
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming gap sessionization (applyInPandasWithState +
+    EventTimeTimeout) — the stateful twin of windows.gap_sessionize: same
+    session definition (consecutive gaps ≤ ``gap_seconds``, ties on
+    ``id_col``), sessions emitted when CLOSED — inline when a later event
+    opens the next session, or by event-time timeout once the watermark
+    passes ``last_event + gap`` (the hanging final session).  On identical,
+    watermark-respecting input the closed-session set equals the batch
+    operator's output (asserted in tests) with ``start_us``/``end_us`` as
+    the exact unix-microsecond bounds.
+
+    Per-key state is 4 longs — O(live keys), never O(events); late events
+    beyond the watermark are the stream's contract to drop upstream."""
+    out_schema = _session_output_schema(
+        events.schema[key_col]
+    )
+
+    def sess(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(seq, start, last, n):
+            return pd.DataFrame(
+                {
+                    out_schema.fields[0].name: [key[0]],
+                    "session_seq": [seq],
+                    "n_events": [n],
+                    "start_us": [start],
+                    "end_us": [last],
+                }
+            )
+
+        if state.hasTimedOut:
+            seq, start, last, n = state.get
+            state.remove()
+            yield emit(seq, start, last, n)
+            return
+        seq, start, last, n = state.get if state.exists else (0, None, None, 0)
+        gap_us = gap_seconds * 1_000_000
+        closed = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["__us", id_col])
+            for us in pdf["__us"].to_numpy():
+                us = int(us)
+                if start is None:
+                    seq, start, last, n = seq + 1, us, us, 1
+                elif us - last > gap_us:
+                    closed.append(emit(seq, start, last, n))
+                    seq, start, last, n = seq + 1, us, us, 1
+                else:
+                    last = max(last, us)
+                    n += 1
+        state.update((seq, start, last, n))
+        # close the open session once the watermark passes last + gap
+        state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+        for c in closed:
+            yield c
+
+    prepared = events.withColumn(
+        "__us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ).withWatermark(ts_col, watermark)
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        sess,
+        outputStructType=out_schema,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

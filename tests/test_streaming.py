@@ -279,3 +279,58 @@ def test_gap_sessionize_boundary_is_strict(spark):
     df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
     out = gap_sessionize(df, "user_id", "ts", "event_id", gap_seconds=1800).collect()
     assert len(out) == 1 and out[0]["n_events"] == 2  # strict '>' keeps one session
+
+
+def test_sessionize_stream_matches_batch_kernel(spark, tmp_path):
+    """Streamed closed sessions == windows.gap_sessionize on the same
+    events.  Two micro-batches; a far-future sentinel event per key lets
+    the final sessions close inline (sentinels form their own session,
+    which stays open and is excluded)."""
+    import datetime as dt
+
+    from nrsr_crawler_spark.operators.windows import gap_sessionize
+
+    schema = "event_id long, user_id long, ts timestamp"
+    far = T0 + dt.timedelta(days=30)
+    b1 = [
+        (1, 1, T0),
+        (2, 1, T0 + dt.timedelta(seconds=60)),     # same session (gap 60 ≤ 300)
+        (3, 2, T0 + dt.timedelta(seconds=10)),
+    ]
+    b2 = [
+        (4, 1, T0 + dt.timedelta(seconds=1000)),   # gap 940 > 300 → new session
+        (5, 2, T0 + dt.timedelta(seconds=200)),    # extends user 2's session
+        (6, 2, T0 + dt.timedelta(seconds=2000)),   # new session for user 2
+    ]
+    sentinels = [(100, 1, far), (101, 2, far)]
+    src = tmp_path / "sess_in"
+    for i, rows in enumerate((b1, b2, sentinels)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    closed = FS.sessionize_stream(
+        stream, key_col="user_id", ts_col="ts", id_col="event_id", gap_seconds=300
+    )
+    got = {
+        (r["user_id"], r["session_seq"], r["n_events"], r["start_us"], r["end_us"])
+        for r in _drain(closed, output_mode="append")
+    }
+
+    all_events = spark.createDataFrame(b1 + b2, schema)
+    expected = {
+        (
+            r["user_id"],
+            r["session_seq"],
+            r["n_events"],
+            int(r["start_ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000),
+            int(r["end_ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000),
+        )
+        for r in gap_sessionize(
+            all_events, "user_id", "ts", "event_id", gap_seconds=300
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) == 4  # u1: 2 sessions, u2: 2 sessions
