@@ -2237,3 +2237,53 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return curriculum_order(docs, "doc_id", "lang", F.col("n_chars"))
+
+
+# -- ViT patchify (multimodal.extract_patches) --------------------------------
+#
+# Same invariant-column convention as multimodal_features: the mapInPandas
+# kernel's output is checked against exact integer identities (patch count,
+# tile dims, Σ patch_sum == resized-canvas total) and emitted as 0/1 columns
+# the oracle mirrors.
+
+
+@query(
+    "multimodal_patches",
+    """
+    SELECT printf('img%010d', c_custkey) AS image_id,
+           1 AS patches_ok, 1 AS dims_ok, 1 AS coverage_ok
+    FROM customer WHERE c_custkey <= 100
+    """,
+)
+def multimodal_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch extraction hash-gated by exact integer invariants: 16
+    tiles of 8x8 per image whose pixel sums add up to the resized canvas
+    total (uint8 sums are integers — engine-exact)."""
+    from nrsr_crawler_spark.operators.multimodal import extract_patches
+    from nrsr_crawler_spark.sources.images import build_images
+
+    captions = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(
+            F.format_string("img%010d", F.col("c_custkey")).alias("image_id"),
+            F.col("c_name").alias("caption"),
+        )
+    )
+    imgs = build_images(spark, captions).persist()
+    patches = extract_patches(imgs, patch=8, grid=4)
+    per_img = patches.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_patches"),
+        F.sum(((F.col("ph") == 8) & (F.col("pw") == 8)).cast("int")).alias("n_dims_ok"),
+        F.sum("patch_sum").alias("sum_patches"),
+        F.count_distinct(F.col("patch_idx")).alias("n_distinct_idx"),
+        F.max("canvas_sum").alias("canvas_sum"),
+    )
+    return per_img.select(
+        "image_id",
+        ((F.col("n_patches") == 16) & (F.col("n_distinct_idx") == 16))
+        .cast("int")
+        .alias("patches_ok"),
+        (F.col("n_dims_ok") == 16).cast("int").alias("dims_ok"),
+        (F.col("sum_patches") == F.col("canvas_sum")).cast("int").alias("coverage_ok"),
+    )

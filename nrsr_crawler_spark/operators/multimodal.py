@@ -138,3 +138,57 @@ def sample_frames(videos: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return videos.select("video_id", "bytes").mapInPandas(_gen, schema=FRAMES_SCHEMA)
+
+
+PATCHES_SCHEMA = (
+    "image_id string, patch_idx int, prow int, pcol int, ph int, pw int, "
+    "patch_sum long, canvas_sum long"
+)
+
+
+def extract_patches(
+    images: DataFrame, patch: int = 8, grid: int = 4
+) -> DataFrame:
+    """ViT-style patchify (Dosovitskiy et al., arXiv:2010.11929 §3): decode,
+    block-resize to a (grid·patch)² canvas, split into ``grid × grid``
+    non-overlapping ``patch × patch`` tiles — one row per tile with its
+    EXACT integer pixel sum (uint8 sums are integers, so the invariant
+    Σ patch_sum == canvas total is engine-exact and oracle-checkable;
+    a training pipeline would emit the flattened pixel vector instead,
+    same batch shape).  ``canvas_sum`` repeats the whole-canvas total on
+    every row so the coverage identity is checkable without a second
+    decode (the resize+re-encode path is lossy for jpeg-ish images).
+
+    One Arrow pass (mapInPandas), rows out = grid² per image — bounded
+    fan-out, no shuffle, no join."""
+    side = patch * grid
+
+    def _gen(batches):
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "image_id", "patch_idx", "prow", "pcol", "ph", "pw",
+                    "patch_sum", "canvas_sum",
+                )
+            }
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                px, _fmt = _decode_any(data)
+                canvas = block_resize(px, side, side)
+                total = int(canvas.astype(np.int64).sum())
+                for r in range(grid):
+                    for c in range(grid):
+                        tile = canvas[
+                            r * patch : (r + 1) * patch, c * patch : (c + 1) * patch
+                        ]
+                        out["image_id"].append(iid)
+                        out["patch_idx"].append(r * grid + c)
+                        out["prow"].append(r)
+                        out["pcol"].append(c)
+                        out["ph"].append(tile.shape[0])
+                        out["pw"].append(tile.shape[1])
+                        out["patch_sum"].append(int(tile.astype(np.int64).sum()))
+                        out["canvas_sum"].append(total)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes").mapInPandas(_gen, schema=PATCHES_SCHEMA)

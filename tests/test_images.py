@@ -76,3 +76,37 @@ def test_crawled_members_produce_images(spark):
     assert report.filter(
         ~(F.col("caption_ok") & F.col("phash_ok") & ((F.col("psnr_db") >= 40) | F.col("exact")))
     ).count() == 0
+
+
+def test_extract_patches_tile_the_canvas_exactly(spark):
+    from pyspark.sql import functions as F
+
+    from nrsr_crawler_spark.operators.multimodal import block_resize, extract_patches
+    from nrsr_crawler_spark.sources.images import build_images, decode_image
+
+    caps = spark.createDataFrame(
+        [(f"img{i:010d}", f"cap {i}") for i in range(1, 9)],
+        "image_id string, caption string",
+    )
+    imgs = build_images(spark, caps)
+    rows = extract_patches(imgs, patch=8, grid=4).collect()
+    by_img = {}
+    for r in rows:
+        by_img.setdefault(r["image_id"], []).append(r)
+    assert set(len(v) for v in by_img.values()) == {16}
+    for iid, ps in by_img.items():
+        assert sorted(p["patch_idx"] for p in ps) == list(range(16))
+        assert all(p["ph"] == 8 and p["pw"] == 8 for p in ps)
+        # exact coverage: tiles partition the canvas
+        assert sum(p["patch_sum"] for p in ps) == ps[0]["canvas_sum"]
+    # ground truth for one image: recompute the canvas locally
+    img0 = imgs.filter(F.col("image_id") == "img0000000001").collect()[0]
+    px, _ = decode_image(bytes(img0["bytes"]))
+    canvas = block_resize(px, 32, 32)
+    expect00 = int(canvas[0:8, 0:8].astype("int64").sum())
+    got00 = next(
+        p["patch_sum"]
+        for p in by_img["img0000000001"]
+        if p["prow"] == 0 and p["pcol"] == 0
+    )
+    assert got00 == expect00
