@@ -2287,3 +2287,90 @@ def multimodal_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_dims_ok") == 16).cast("int").alias("dims_ok"),
         (F.col("sum_patches") == F.col("canvas_sum")).cast("int").alias("coverage_ok"),
     )
+
+
+# -- end-to-end dataset build: filter → dedup keep-best → split → curriculum --
+#
+# The composition query: quality-classifier keep gate, near-dup CC groups
+# with highest-logit keep-one, leak-safe split on the group representative,
+# curriculum ordering of the surviving train split.  Every stage is an
+# existing oracle-exact primitive; the oracle is their CTE composition.
+
+_CLF_LOGIT = (
+    "-60000 + 1 * mean_word_len_centi + 200 * n_tokens "
+    "- 8 * punct_bps + 40 * stopword_bps - 12 * upper_bps"
+)
+
+
+@query(
+    "train_dataset_build",
+    f"""
+    WITH RECURSIVE {_MINHASH_CC_CTES},
+    ftoks AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    feats AS (SELECT doc_id,
+                 len(tk) AS n_tokens,
+                 CAST(ROUND(LENGTH(regexp_replace(text, '\\s', '', 'g')) * 10000.0 / len(tk)) AS BIGINT) AS mean_word_len_centi,
+                 CAST(ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10000.0 / LENGTH(text)) AS BIGINT) AS punct_bps,
+                 CAST(ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g'))) * 10000.0 / LENGTH(text)) AS BIGINT) AS upper_bps,
+                 CAST(ROUND(len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','it'], lower(t)))) * 10000.0 / len(tk)) AS BIGINT) AS stopword_bps
+          FROM ftoks),
+    keepq AS (SELECT doc_id, {_CLF_LOGIT} AS logit FROM feats WHERE ({_CLF_LOGIT}) >= 0),
+    members AS (SELECT cc.doc_id, cc.group_id, k.logit
+                FROM cc JOIN keepq k USING (doc_id)),
+    best AS (SELECT doc_id, group_id, logit FROM (
+                 SELECT *, row_number() OVER (PARTITION BY group_id
+                                              ORDER BY logit DESC, doc_id) AS rn
+                 FROM members) WHERE rn = 1),
+    reps AS (SELECT DISTINCT group_id,
+                    {_SPLIT_CASE.format(col='group_id')} AS split_final
+             FROM members),
+    surv AS (SELECT b.doc_id, b.group_id, d.lang AS stratum, d.n_chars
+             FROM best b JOIN reps USING (group_id)
+             JOIN documents d USING (doc_id)
+             WHERE split_final = 'train'),
+    idx AS (SELECT stratum, row_number() OVER (ORDER BY stratum) - 1 AS sidx
+            FROM (SELECT DISTINCT stratum FROM surv)),
+    nn AS (SELECT COUNT(*) AS ns FROM idx),
+    rr AS (SELECT doc_id, group_id, stratum, n_chars AS difficulty,
+                  row_number() OVER (PARTITION BY stratum
+                                     ORDER BY n_chars, doc_id) AS within_rank
+           FROM surv)
+    SELECT doc_id, group_id, stratum, difficulty, within_rank,
+           (within_rank - 1) * ns + sidx AS order_key
+    FROM rr JOIN idx USING (stratum), nn
+    """,
+)
+def train_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled training-data pipeline in one plan: classifier keep
+    gate → near-dup components → highest-quality member survives → leak-safe
+    split on the component representative → curriculum order of the train
+    split.  Composes only existing oracle-exact primitives."""
+    from pyspark.sql import Window
+
+    from nrsr_crawler_spark.operators.image_dedup import phash_connected_groups
+    from nrsr_crawler_spark.operators.sampling import curriculum_order
+    from nrsr_crawler_spark.operators.splits import raw_split
+
+    docs = load(spark, sf_dir, "documents")
+    quality = T.classifier_quality_filter(docs, "doc_id", "text")
+    pairs = D.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=2,
+        threshold_num=1, threshold_den=2,
+    ).select("id_a", "id_b")
+    labels = phash_connected_groups(pairs, docs.select("doc_id"), id_col="doc_id")
+    members = labels.withColumnRenamed("rep", "group_id").join(
+        quality.filter(F.col("keep")).select("doc_id", "logit"), "doc_id"
+    )
+    w = Window.partitionBy("group_id").orderBy(F.col("logit").desc(), F.col("doc_id"))
+    best = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "logit")
+    )
+    surv = (
+        best.withColumn("split_final", raw_split(F.col("group_id")))
+        .filter(F.col("split_final") == "train")
+        .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    )
+    ordered = curriculum_order(surv, "doc_id", "lang", F.col("n_chars"))
+    return ordered.join(best.select("doc_id", "group_id"), "doc_id")

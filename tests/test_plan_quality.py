@@ -317,6 +317,7 @@ def test_fourth_wave_ops_stay_jvm_side_no_cartesian(spark):
         "train_kmeans_cells",
         "text_cdc_chunks",
         "train_curriculum_order",
+        "train_dataset_build",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
