@@ -2374,3 +2374,71 @@ def train_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ordered = curriculum_order(surv, "doc_id", "lang", F.col("n_chars"))
     return ordered.join(best.select("doc_id", "group_id"), "doc_id")
+
+
+# -- audio modality (sources/audio.py + multimodal audio kernels) --------------
+
+
+@query(
+    "multimodal_audio",
+    """
+    SELECT printf('aud%010d', c_custkey) AS audio_id,
+           1 AS meta_ok, 1 AS windows_ok, 1 AS counts_ok, 1 AS coverage_ok
+    FROM customer WHERE c_custkey <= 100
+    """,
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + fixed-window energy features, hash-gated by exact
+    integer identities: decoded metadata matches the stored columns, frame
+    count/index structure is exact, frame lengths sum to n_samples, and
+    Σ frame energy equals the clip total (int64-exact)."""
+    from nrsr_crawler_spark.operators.multimodal import (
+        audio_window_features,
+        decode_audio_stats,
+    )
+    from nrsr_crawler_spark.sources.audio import build_audio
+
+    ids = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(
+            F.format_string("aud%010d", F.col("c_custkey")).alias("audio_id"),
+            F.col("c_name").alias("caption"),
+        )
+    )
+    auds = build_audio(spark, ids).persist()
+    stats = decode_audio_stats(auds)
+    meta = auds.select(
+        "audio_id",
+        F.col("sample_rate").alias("msr"),
+        F.col("n_samples").alias("mn"),
+    )
+    win = audio_window_features(auds, window=256)
+    per_clip = win.groupBy("audio_id").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct("win_idx").alias("d_idx"),
+        F.max("n_windows").alias("n_win"),
+        F.sum("n").alias("sum_n"),
+        F.sum("energy").alias("sum_e"),
+        F.max("total_energy").alias("tot_e"),
+    )
+    return (
+        stats.join(meta, "audio_id")
+        .join(per_clip, "audio_id")
+        .select(
+            "audio_id",
+            (
+                (F.col("sample_rate") == F.col("msr"))
+                & (F.col("n_samples") == F.col("mn"))
+                & (F.col("peak") <= 32767)
+            ).cast("int").alias("meta_ok"),
+            (
+                (F.col("rows") == F.col("n_win")) & (F.col("d_idx") == F.col("n_win"))
+                & (F.col("n_win") == F.ceil(F.col("n_samples") / 256.0))
+            ).cast("int").alias("windows_ok"),
+            (F.col("sum_n") == F.col("n_samples")).cast("int").alias("counts_ok"),
+            (
+                (F.col("sum_e") == F.col("tot_e")) & (F.col("tot_e") == F.col("energy"))
+            ).cast("int").alias("coverage_ok"),
+        )
+    )

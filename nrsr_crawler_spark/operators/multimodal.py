@@ -192,3 +192,68 @@ def extract_patches(
             yield pd.DataFrame(out)
 
     return images.select("image_id", "bytes").mapInPandas(_gen, schema=PATCHES_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = (
+    "audio_id string, sample_rate int, n_samples long, energy long, peak int"
+)
+AUDIO_WINDOWS_SCHEMA = (
+    "audio_id string, win_idx int, n long, energy long, "
+    "total_energy long, n_windows int"
+)
+
+
+def decode_audio_stats(audios: DataFrame) -> DataFrame:
+    """binary → typed audio metadata + EXACT integer signal stats
+    (energy = Σ s² in int64, peak = max |s|) — the audio 'decode' stage."""
+    from nrsr_crawler_spark.sources.audio import decode_audio
+
+    def _gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("audio_id", "sample_rate", "n_samples", "energy", "peak")}
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                s, sr = decode_audio(bytes(data))
+                s64 = s.astype(np.int64)
+                out["audio_id"].append(aid)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(int(s.shape[0]))
+                out["energy"].append(int((s64 * s64).sum()))
+                out["peak"].append(int(np.abs(s64).max()) if s.shape[0] else 0)
+            yield pd.DataFrame(out)
+
+    return audios.select("audio_id", "bytes").mapInPandas(_gen, schema=AUDIO_STATS_SCHEMA)
+
+
+def audio_window_features(audios: DataFrame, window: int = 256) -> DataFrame:
+    """Fixed-window energy features (the RMS-frame stage of an audio
+    pipeline): one row per ``window``-sample frame with its exact int64
+    energy, plus the clip total carried per row so the coverage identity
+    Σ frame energy == total is oracle-checkable without a second decode
+    (same convention as extract_patches' canvas_sum).  Short tail frames
+    keep their true length ``n``."""
+    from nrsr_crawler_spark.sources.audio import decode_audio
+
+    def _gen(batches):
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "audio_id", "win_idx", "n", "energy", "total_energy", "n_windows"
+                )
+            }
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                s, _sr = decode_audio(bytes(data))
+                s64 = s.astype(np.int64)
+                total = int((s64 * s64).sum())
+                n_win = max(1, -(-s.shape[0] // window)) if s.shape[0] else 0
+                for i in range(n_win):
+                    frame = s64[i * window : (i + 1) * window]
+                    out["audio_id"].append(aid)
+                    out["win_idx"].append(i)
+                    out["n"].append(int(frame.shape[0]))
+                    out["energy"].append(int((frame * frame).sum()))
+                    out["total_energy"].append(total)
+                    out["n_windows"].append(n_win)
+            yield pd.DataFrame(out)
+
+    return audios.select("audio_id", "bytes").mapInPandas(_gen, schema=AUDIO_WINDOWS_SCHEMA)
