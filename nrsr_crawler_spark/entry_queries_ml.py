@@ -2442,3 +2442,54 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("coverage_ok"),
         )
     )
+
+
+# -- exact phrase search (retrieval.phrase_topk) -------------------------------
+
+_PHRASES = {
+    "p_tbl_val": ["table", "value"],
+    "p_fast_tbl": ["fast", "table"],
+    "p_key_agg_row": ["key", "agg", "row"],
+}
+
+_PHRASE_VALUES = ", ".join(
+    f"('{pid}', {i}, '{t}')"
+    for pid, terms in sorted(_PHRASES.items())
+    for i, t in enumerate(terms)
+)
+
+
+@query(
+    "text_phrase_topk",
+    f"""
+    WITH p(phrase_id, term_idx, term) AS (VALUES {_PHRASE_VALUES}),
+    toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    post AS (SELECT doc_id, i AS pos, tk[i] AS term
+             FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+    cand AS (SELECT doc_id, phrase_id, term_idx, pos - term_idx AS anchor
+             FROM post JOIN p USING (term)),
+    nt AS (SELECT phrase_id, COUNT(*) AS n_terms FROM p GROUP BY phrase_id),
+    hits AS (SELECT doc_id, phrase_id, anchor, COUNT(DISTINCT term_idx) AS n_found
+             FROM cand GROUP BY doc_id, phrase_id, anchor),
+    occ AS (SELECT phrase_id, doc_id, COUNT(*) AS n_occurrences
+            FROM hits JOIN nt USING (phrase_id)
+            WHERE n_found = n_terms GROUP BY phrase_id, doc_id)
+    SELECT phrase_id, doc_id, n_occurrences, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY phrase_id
+                                     ORDER BY n_occurrences DESC, doc_id) AS rank
+        FROM occ
+    ) WHERE rank <= 5
+    """,
+)
+def text_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over positional postings (adjacency anchor join,
+    broadcast phrase set, semi-join-pruned postings) — top-5 docs per
+    phrase by exact occurrence count."""
+    from nrsr_crawler_spark.operators.retrieval import phrase_topk
+
+    out = phrase_topk(
+        load(spark, sf_dir, "documents"), "doc_id", "text", _PHRASES, k=5
+    )
+    return out.select(
+        "phrase_id", "doc_id", "n_occurrences", F.col("rank").cast("long").alias("rank")
+    )

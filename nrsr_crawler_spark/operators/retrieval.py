@@ -88,3 +88,61 @@ def bm25_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def positional_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, pos) — 1-based token positions (the positional index a
+    phrase query needs; one explode, keys shuffle on well-mixed terms)."""
+    return df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos0", "term")
+    ).select(F.col(id_col), "term", (F.col("pos0") + 1).alias("pos"))
+
+
+def phrase_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrases: dict[str, list[str]],
+    k: int = 5,
+) -> DataFrame:
+    """Exact phrase search over a positional index: a ``phrase_id`` matches
+    at position ``p`` iff term_i sits at ``p + i`` for every term of the
+    phrase (the classic positional-postings adjacency join).  Returns the
+    top ``k`` docs per phrase by occurrence count (ties → smaller id), with
+    the exact integer count — fully oracle-checkable.
+
+    Scale shape (100 TB): the phrase set is a literal broadcast (≤ dozens
+    of terms); postings are semi-join pruned to phrase terms BEFORE any
+    wide work, then the adjacency join is an equi-join on
+    ``(id, adjusted_pos)`` — candidate positions of term 0 only, never a
+    scan of non-matching positions; per-phrase top-k is a bounded window."""
+    post = positional_postings(df, id_col, text_col)
+    rows = [
+        (pid, i, t)
+        for pid, terms in sorted(phrases.items())
+        for i, t in enumerate(terms)
+    ]
+    spark = df.sparkSession
+    pt = spark.createDataFrame(rows, "phrase_id string, term_idx int, term string")
+    # prune to phrase vocabulary, then anchor on term 0 and check adjacency:
+    # each (phrase term i at pos) normalizes to its would-be anchor pos - i
+    cand = post.join(F.broadcast(pt), "term").select(
+        F.col(id_col), "phrase_id", "term_idx", (F.col("pos") - F.col("term_idx")).alias("anchor")
+    )
+    n_terms = pt.groupBy("phrase_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    hits = (
+        cand.groupBy(id_col, "phrase_id", "anchor")
+        .agg(F.count_distinct("term_idx").alias("n_found"))
+        .join(F.broadcast(n_terms), "phrase_id")
+        .filter(F.col("n_found") == F.col("n_terms"))
+        .groupBy("phrase_id", id_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.col("n_occurrences").desc(), F.col(id_col)
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("phrase_id", F.col(id_col), "n_occurrences", "rank")
+    )

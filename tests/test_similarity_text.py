@@ -448,3 +448,31 @@ def test_ivf_trained_codebook_stays_sound(spark):
         emb, queries, k=n, n_centroids=8, nprobe=4, train_iterations=2
     )
     assert got <= {(r["query_id"], r["neighbor_id"]) for r in probed_all.collect()}
+
+
+# -- exact phrase search --------------------------------------------------------
+
+
+def test_phrase_topk_hand_built(spark):
+    from nrsr_crawler_spark.operators.retrieval import phrase_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick fox jumps the quick fox sleeps"),  # "the quick fox" ×2
+            (2, "quick the fox"),                              # words present, order wrong
+            (3, "the quick fox"),                              # exactly once
+            (4, "a b a b a"),                                  # overlapping "a b a" ×2
+            (5, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = phrase_topk(
+        df, "doc_id", "text", {"pq": ["the", "quick", "fox"], "aba": ["a", "b", "a"]}, k=5
+    )
+    got = {(r["phrase_id"], r["doc_id"]): (r["n_occurrences"], r["rank"]) for r in out.collect()}
+    assert got[("pq", 1)] == (2, 1)
+    assert got[("pq", 3)] == (1, 2)
+    assert ("pq", 2) not in got and ("pq", 5) not in got
+    # repeated-term phrase with overlapping matches: positions 1 and 3
+    assert got[("aba", 4)] == (2, 1)
+    assert len([k for k in got if k[0] == "aba"]) == 1
