@@ -408,6 +408,50 @@ class CrawlEngine:
             F.expr(f"(rank * {scale}) div {max(1, linkrank.SCALE // n)}").alias("boost"),
         )
 
+    def yield_boosts(self, scale: int = 100) -> DataFrame:
+        """Focused-crawl value boosts (the classic value-ordered frontier:
+        Chakrabarti et al. focused crawling, Cho & Garcia-Molina URL
+        ordering): URL templates that historically produced items get
+        scheduled first.  Per template, boost = ``scale · items div
+        fetched_pages`` (exact integer); every known URL inherits its
+        template's boost through the stored 8-byte ``tpl_hash``, so pending
+        never-fetched URLs are prioritized by what SIMILAR URLs yielded.
+        Feed into :meth:`set_priority_boosts` and keep crawling.
+
+        Reads the compacted frontier/fetch_log bases + item deltas — an
+        occasional admin op like :meth:`pagerank_boosts`, O(known URLs)."""
+        frontier = self.lake.read_merged(self.spark, "frontier").select(
+            "url_hash", "tpl_hash"
+        )
+        fetched = (
+            self.lake.read_merged(
+                self.spark, "fetch_log", schema=FETCHLOG_SCHEMA + ", epoch int"
+            )
+            .filter(F.col("status") == "ok")
+            .select("url_hash")
+            .distinct()
+        )
+        items = self.lake.read_all(
+            self.spark,
+            "items",
+            schema="url_hash long, canon_url string, payload string, image_id string",
+        ).groupBy("url_hash").agg(F.count(F.lit(1)).alias("__n_items"))
+        per_tpl = (
+            fetched.join(frontier, "url_hash")
+            .join(items, "url_hash", "left")
+            .groupBy("tpl_hash")
+            .agg(
+                F.count(F.lit(1)).alias("__n_fetched"),
+                F.sum(F.coalesce(F.col("__n_items"), F.lit(0))).alias("__items"),
+            )
+            .select(
+                "tpl_hash",
+                F.expr(f"({scale} * __items) div __n_fetched").alias("boost"),
+            )
+            .filter(F.col("boost") > 0)
+        )
+        return frontier.join(per_tpl, "tpl_hash").select("url_hash", "boost")
+
     def recrawl_candidates(self) -> DataFrame:
         """Freshness-ranked revisit candidates (operators/recrawl.py): the
         revisit log is the FULL fetch history × the page table's content

@@ -82,3 +82,37 @@ def test_pagerank_boosts_from_crawl_edges(spark, tmp_path):
     # deterministic: second computation identical
     again = {(r.url_hash, r.boost) for r in eng.pagerank_boosts(scale=100).collect()}
     assert again == {(r.url_hash, r.boost) for r in rows}
+
+
+def test_yield_boosts_prefer_item_bearing_templates(spark, tmp_path):
+    """Focused-crawl value ordering: templates whose fetched pages produced
+    items boost above templates that produced none."""
+    from nrsr_crawler_spark.sources.synthetic_site import SEED_URL, generate_site, site_rows
+
+    site = generate_site(periods=2, pages_per_period=2, details_per_page=3, members_per_period=3)
+    pages = spark.createDataFrame(site_rows(site), PAGES_SCHEMA)
+    eng = CrawlEngine(
+        spark, pages, str(tmp_path / "lake"), budget_per_host=100, typed_items=False
+    )
+    eng.run([SEED_URL])
+
+    boosts = eng.yield_boosts(scale=100)
+    rows = boosts.collect()
+    assert rows and all(r.boost > 0 for r in rows)
+    # item-bearing pages (payload items logged in the items table) must be
+    # boosted; pages of barren templates must not appear
+    items = eng.lake.read_all(spark, "items").select("url_hash").distinct()
+    boosted = {r.url_hash for r in rows}
+    item_urls = {r.url_hash for r in items.collect()}
+    assert item_urls <= boosted  # every item-bearing URL inherits its template's boost
+    fetched = {
+        r.url_hash
+        for r in eng.lake.read_all(spark, "fetch_log").select("url_hash").collect()
+    }
+    barren_fetched = fetched - item_urls
+    # the seed/listing templates yielded nothing — they must not be boosted
+    # (unless they share a template with item pages, which this site doesn't)
+    assert barren_fetched & boosted == set()
+    # deterministic
+    again = {(r.url_hash, r.boost) for r in eng.yield_boosts(scale=100).collect()}
+    assert again == {(r.url_hash, r.boost) for r in rows}
