@@ -5,10 +5,20 @@ on DuckDB over the same parquet dir, compares row count + column names +
 order-insensitive values.  Usage:
 
     python scripts/oracle_check.py [sf_dir] [name ...]
+    python scripts/oracle_check.py --json OUT.json [sf_dir] [name ...]
+
+``--json`` additionally writes a per-query artifact
+``{name: {rows, green, pair_sha}}`` where ``pair_sha`` is the sha256 of the
+query callable's source concatenated with its oracle SQL — a fingerprint of
+the frozen query+oracle pair, so a later reviewer can verify which exact
+pair the full-registry run certified without re-running it.
 """
 
 from __future__ import annotations
 
+import hashlib
+import inspect
+import json
 import math
 import sys
 import os
@@ -42,9 +52,22 @@ def canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def pair_sha(fn, sql: str | None) -> str:
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = repr(fn)
+    return hashlib.sha256((src + "\n--\n" + (sql or "")).encode()).hexdigest()[:16]
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry_mod
@@ -58,6 +81,16 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = 0
+    report: dict[str, dict] = {}
+
+    def record(name, rows, green, fn, mode="oracle"):
+        report[name] = {
+            "rows": rows,
+            "green": green,
+            "mode": mode,
+            "pair_sha": pair_sha(fn, oracles.get(name)),
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -68,9 +101,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
+            record(name, -1, False, fn)
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
+            record(name, len(srows), True, fn, mode="rows-only")
             continue
         try:
             res = con.execute(oracles[name])
@@ -79,24 +114,39 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
+            record(name, len(srows), False, fn)
             continue
         sc, sr = canon_rows(scols, srows)
         dc, dr = canon_rows(dcols, drows)
         if sc != dc:
             print(f"FAIL {name}: columns differ spark={sc} duckdb={dc}")
             failures += 1
+            record(name, len(sr), False, fn)
             continue
         if len(sr) != len(dr):
             print(f"FAIL {name}: rowcount spark={len(sr)} duckdb={len(dr)}")
             failures += 1
+            record(name, len(sr), False, fn)
             continue
         if sr != dr:
             bad = next(i for i, (a, b) in enumerate(zip(sr, dr)) if a != b)
             print(f"FAIL {name}: values differ at sorted-row {bad}:\n  spark : {sr[bad]}\n  duckdb: {dr[bad]}")
             failures += 1
+            record(name, len(sr), False, fn)
             continue
         print(f"ok   {name}: {len(sr)} rows match")
+        record(name, len(sr), True, fn)
     spark.stop()
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "total": len(report),
+            "green": sum(1 for v in report.values() if v["green"]),
+            "queries": report,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}: {summary['green']}/{summary['total']} green")
     return 1 if failures else 0
 
 
