@@ -3,11 +3,12 @@ opaque ``binary`` + typed metadata; decode / feature-extract / resize /
 frame-sample as Arrow-batched UDFs over ``mapInPandas``).
 
 Real here: schemas, Arrow batch shape, partitioning, the FIMG fake-codec
-decode (sources/images.py), numpy resize/feature kernels, and the
-frame-sample container walk.  Stubbed here (container lacks Pillow/ffmpeg):
-decoding real PNG/JPEG/audio/video bytes — those branches raise
-``NotImplementedError`` explicitly; at deploy time they become
-``PIL.Image.open`` / pyav calls inside the SAME mapInPandas functions.
+decode (sources/images.py), a genuine pure-stdlib PNG codec, numpy
+resize/feature kernels, and the frame-sample container walk.  Capability-
+gated (container lacks Pillow/ffmpeg): real JPEG/gif/webp decode runs via
+``PIL.Image.open`` when Pillow is installed (``images.HAS_PIL``), raises
+``NotImplementedError`` otherwise; video frame decode becomes pyav at
+deploy time inside the SAME mapInPandas functions.
 """
 
 from __future__ import annotations
@@ -16,7 +17,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from nrsr_crawler_spark.sources.images import MAGIC, decode_image, encode_image, phash64
+from nrsr_crawler_spark.sources.images import (
+    MAGIC,
+    decode_image,
+    decode_image_any,
+    encode_image,
+    phash64,
+)
 
 DECODE_SCHEMA = "image_id string, w int, h int, fmt string, mean_px double, std_px double, phash long"
 RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
@@ -25,10 +32,9 @@ FEATURES_SCHEMA = "image_id string, features array<float>"
 
 
 def _decode_any(data: bytes) -> tuple[np.ndarray, str]:
-    if bytes(data[:4]) == MAGIC:
-        return decode_image(bytes(data))
-    # real-codec branch — requires Pillow, absent in this container
-    raise NotImplementedError("non-FIMG payloads need Pillow (PIL.Image.open) at deploy time")
+    """FIMG fake codec, real PNG (pure stdlib), real JPEG/other (Pillow when
+    installed) — one dispatch for every decode kernel in the engine."""
+    return decode_image_any(data)
 
 
 def decode_stats(images: DataFrame) -> DataFrame:
