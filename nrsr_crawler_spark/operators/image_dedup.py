@@ -107,6 +107,7 @@ def phash_connected_groups(
     images: DataFrame,
     id_col: str = "image_id",
     max_rounds: int = 30,
+    method: str = "propagate",
 ) -> DataFrame:
     """FULL connected components over the near-dup pair edges — the flagged
     alternative to :func:`phash_neardup_groups`' single-hop convention, for
@@ -124,7 +125,18 @@ def phash_connected_groups(
 
     Returns (id, rep) for EVERY image, rep = min id of its component —
     deterministic, engine-portable (a recursive-CTE oracle derives the same
-    fixpoint)."""
+    fixpoint).
+
+    ``method="star"`` dispatches to :func:`star_contraction_components`
+    (same contract, ~⌈log₂ diameter⌉ rounds) — the flagged choice for
+    adversarial chain-shaped components; ``propagate`` (default, frozen
+    behavior) is fine for near-dup balls (diameter 2-4)."""
+    if method == "star":
+        return star_contraction_components(
+            pairs, images, id_col=id_col, max_rounds=max_rounds
+        )
+    if method != "propagate":
+        raise ValueError(f"method {method!r}")
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -148,6 +160,87 @@ def phash_connected_groups(
     raise RuntimeError(
         f"phash_connected_groups did not converge in {max_rounds} rounds "
         f"(component diameter exceeds the bound; raise max_rounds)"
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star step (Kiveris et al., 'Connected Components in MapReduce
+    and Beyond', SOCC 2014, Alg. 3): every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood."""
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.least(F.col("mn"), F.col("a")).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star step (ibid., Alg. 4): orient every edge high→low, then every
+    node connects its (smaller) neighbors and itself to the minimum one."""
+    oriented = (
+        edges.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("mn"))
+    nbrs = oriented.join(mins, "a").select(F.col("b").alias("a"), F.col("mn").alias("b"))
+    selfe = mins.select("a", F.col("mn").alias("b"))
+    return nbrs.unionByName(selfe).filter(F.col("a") != F.col("b")).distinct()
+
+
+def star_contraction_components(
+    pairs: DataFrame,
+    images: DataFrame,
+    id_col: str = "image_id",
+    max_rounds: int = 20,
+    rounds_out: list | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star contraction
+    (Kiveris et al., SOCC 2014) — the O(log n)-round alternative to
+    :func:`phash_connected_groups`' min-label propagation, whose round count
+    is the component DIAMETER.  For adversarial chain shapes (a path of L
+    pairwise-near images) propagation needs L rounds; star contraction
+    converges in ~⌈log₂ L⌉ rounds (asserted in tests/test_image_dedup.py on
+    the chain fixture), because each alternation at least halves every
+    non-star component's height.
+
+    Same contract as phash_connected_groups: returns (id, rep) for EVERY
+    image, rep = min id of its component, matching the recursive-CTE oracle.
+
+    Scale shape: each round is two groupBy+join passes over O(|E|) rows; the
+    edge set never exceeds |E|+|V| (large-star emits ≤1 edge per symmetric
+    edge, small-star ≤1 per oriented edge + 1 per node), and
+    ``localCheckpoint`` truncates lineage so the plan stays O(1) per round.
+    Hot keys (a huge component's root accumulating degree) are exactly the
+    case the algorithm is designed for — the root's bucket is the component,
+    already the output.  ``rounds_out``, when a list, receives the converged
+    round count (for bound assertions / metrics)."""
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).localCheckpoint()
+    for rnd in range(1, max_rounds + 1):
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        stable = (
+            nxt.count() == edges.count()
+            and nxt.subtract(edges).count() == 0
+        )
+        old = edges
+        edges = nxt
+        old.unpersist()
+        if stable:
+            if rounds_out is not None:
+                rounds_out.append(rnd)
+            stars = edges.select(F.col("a").alias(id_col), F.col("b").alias("rep"))
+            return images.select(id_col).join(stars, id_col, "left").select(
+                F.col(id_col),
+                F.coalesce(F.col("rep"), F.col(id_col)).alias("rep"),
+            )
+    raise RuntimeError(
+        f"star_contraction_components did not converge in {max_rounds} rounds"
     )
 
 
