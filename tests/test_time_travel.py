@@ -117,3 +117,34 @@ def test_typed_store_changes_cdc(spark, tmp_path):
         eng2.typed_store("member").filter(F.col("url") == victim).first().surname
         == "Zmeneny"
     )
+
+
+def test_snapshot_immune_to_mid_read_compaction_churn(spark, tmp_path):
+    """Round-4 verdict item 8: a LAZILY-PLANNED snapshot read (seen set,
+    frontier, typed store) must stay byte-identical when compaction churn
+    supersedes the requested epoch between planning and collection —
+    compact_every=1 writes a newer base (and GCs older ones) every epoch."""
+    full, part = _engines(spark, tmp_path, compact_every=1)
+    part.run([SEED_URL], max_epochs=2)
+    cut = part.lake.last_committed()
+    full.run([SEED_URL], max_epochs=2)
+    assert full.lake.last_committed() == cut
+
+    # plan the snapshot reads NOW (lazy DataFrames, nothing collected) …
+    seen_df = full.seen_set(as_of=cut)
+    member_df = full.typed_store("member", as_of=cut)
+    frontier_df = full.lake.read_merged(spark, "frontier", upto=cut)
+
+    # … then let the crawl run on: every epoch compacts, superseding `cut`
+    full.run()
+    assert full.lake.base_upto("frontier") > cut
+
+    assert {r.canon_url for r in seen_df.collect()} == _seen(part)
+    got_members = {
+        tuple(r) for r in member_df.select("external_id", "period_num", "surname").collect()
+    }
+    assert got_members == _members(part)
+    # byte-identical: the pre-churn plan equals a fresh post-churn snapshot
+    fresh = full.lake.read_merged(spark, "frontier", upto=cut)
+    assert frontier_df.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(frontier_df).count() == 0
