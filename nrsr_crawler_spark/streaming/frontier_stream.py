@@ -95,7 +95,10 @@ def prepare_stream(raw: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def dedup_within_watermark(
-    prepared: DataFrame, delay: str = "10 minutes", ts_col: str = "disc_ts"
+    prepared: DataFrame,
+    delay: str = "10 minutes",
+    ts_col: str = "disc_ts",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Streaming J4: drop re-discovered URLs with bounded state.
 
@@ -104,9 +107,13 @@ def dedup_within_watermark(
     correct streaming trade for a 10^10-URL crawl where the exact cross-epoch
     seen-set lives in the lake (operators/seen.py) and the stream only needs
     to suppress short-horizon re-discoveries between lake syncs.
+
+    ``keys`` widens the dedup key beyond the fingerprint — the streaming
+    crawl (streaming/crawl_stream.py) keys on (url_hash, requeue_round) so a
+    politeness-deferred URL survives while true re-discoveries collapse.
     """
     return prepared.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
-        ["url_hash"]
+        keys or ["url_hash"]
     )
 
 
