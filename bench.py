@@ -47,6 +47,37 @@ HEADLINE = [
     "text_boilerplate_strip",  # CCNet-style per-source frequent-block removal
 ]
 
+# Per-query regression budgets (VERDICT r3 next #5): the cleanest observed
+# median-of-3 per query across the r3/r4 full-bench readings (BENCH_r03.json
+# window: cpu/mem control eff 0.763/0.547; r4 window: 0.824/0.181 — the
+# per-query MIN across windows approximates the clean-window median, since
+# host contention only ever inflates).  The check FAILS the bench run when a
+# query exceeds 2× its budget IN A CLEAN WINDOW (same-run mem_control_eff
+# ≥ 0.8); in contended windows the shuffle-heavy queries legitimately track
+# the saturated external bus (r3 analysis: dedup_minhash_lsh 1.0→4.6 s at
+# mem-eff 0.400 with an unchanged plan), so the check reports but does not
+# fail.  Update a budget ONLY with a cleaner measured median, never to make
+# a regression pass.
+QUERY_BUDGETS_SEC = {
+    "flagship_frontier_schedule": 2.14,
+    "q1_pricing_summary": 0.59,
+    "j3_missing_presses": 1.95,
+    "o3_frontier_pop": 0.62,
+    "a1_clubs_sessionize": 0.81,
+    "dedup_minhash_lsh": 2.09,
+    "dedup_simhash": 0.91,
+    "ann_bruteforce_topk": 0.50,
+    "text_quality": 0.28,
+    "items_voting_votes": 1.42,
+    "images_phash_neardup": 0.56,
+    "text_substring_dedup": 0.31,
+    "link_pagerank": 6.20,
+    "images_quality_gate": 0.50,
+    "text_block_dedup": 0.33,
+    "dedup_semantic": 0.90,
+    "text_boilerplate_strip": 0.38,
+}
+
 
 def frontier_throughput(
     spark, sf_dir: str, repeat: int = 5, mult: int | None = None
@@ -201,11 +232,24 @@ def main() -> None:
 
     controls = control_readings()
 
+    # per-query regression gate: enforced only when THIS window's memory-bus
+    # control is clean (contended windows inflate shuffle-heavy queries for
+    # reasons outside the plans — see QUERY_BUDGETS_SEC)
+    budget_checked = controls.get("mem_control_eff", 0.0) >= 0.8
+    budget_violations = sorted(
+        name
+        for name, t in timings.items()
+        if name in QUERY_BUDGETS_SEC and t > 2 * QUERY_BUDGETS_SEC[name]
+    )
+
     out = {
         "metric": "headline suite wall time (sf dir); north: urls_scheduled_per_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "query_budgets_sec": QUERY_BUDGETS_SEC,
+        "budget_checked": budget_checked,
+        "budget_violations": budget_violations,
         "sf": sf_dir,
         # the REPRODUCIBLE number (median of repeats) is THE north metric;
         # best-window is a footnote for cross-checking exceptional readings
@@ -221,6 +265,12 @@ def main() -> None:
     }
     print(json.dumps(out))
     spark.stop()
+    if budget_checked and budget_violations:
+        # clean window + >2× a recorded clean median = a real plan/perf
+        # regression — fail the run so the driver records it loudly
+        raise SystemExit(
+            f"budget violations in a clean window: {budget_violations}"
+        )
 
 
 if __name__ == "__main__":
