@@ -902,3 +902,71 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_rollup(
         load(spark, sf_dir, "events"), "ts", ["event_type"], "value", width_seconds=3600
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-graph HITS (operators/linkrank.py hits_fixed): hub/authority scores
+# over the same cyclic lineitem-derived page graph as link_pagerank.
+# Authority ranks content pages worth fetch budget; hub ranks listing pages
+# worth re-crawling for fresh outlinks.  K = 2 iterations = 4 half-steps,
+# each an integer edge-sum + L1 renormalization (v * SCALE div total), so
+# the oracle unrolls to 4 CTE pairs in exact BIGINT floor division.
+
+_HITS_EDGES = """
+WITH edges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT 3 * l_orderkey AS src, 3 * l_partkey + 1 AS dst FROM lineitem
+        UNION ALL
+        SELECT 3 * l_partkey + 1, 3 * l_suppkey + 2 FROM lineitem
+        UNION ALL
+        SELECT 3 * l_suppkey + 2, 3 * l_orderkey FROM lineitem WHERE l_suppkey % 7 <> 0
+    )
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+h0 AS (SELECT node, CAST((SELECT 1000000 // n FROM nn) AS BIGINT) AS score FROM nodes)"""
+
+_HITS_HALF_TPL = """,
+{out}r AS (
+    SELECT e.{grp} AS node, SUM(s.score) AS v
+    FROM edges e JOIN {prev} s ON s.node = e.{key}
+    GROUP BY e.{grp}
+),
+{out} AS (
+    SELECT n.node,
+           CAST(COALESCE(r.v, 0) * 1000000
+                // COALESCE((SELECT SUM(v) FROM {out}r), 1) AS BIGINT) AS score
+    FROM nodes n LEFT JOIN {out}r r ON r.node = n.node
+)"""
+
+
+def _hits_oracle(k: int = 2) -> str:
+    parts = [_HITS_EDGES]
+    prev = "h0"
+    for t in range(1, k + 1):
+        parts.append(_HITS_HALF_TPL.format(out=f"a{t}", prev=prev, key="src", grp="dst"))
+        parts.append(_HITS_HALF_TPL.format(out=f"h{t}", prev=f"a{t}", key="dst", grp="src"))
+        prev = f"h{t}"
+    parts.append(
+        f"\nSELECT n.node, a.score AS auth, h.score AS hub"
+        f"\nFROM nodes n JOIN a{k} a ON a.node = n.node JOIN h{k} h ON h.node = n.node"
+    )
+    return "".join(parts)
+
+
+@query("link_hits", _hits_oracle(2))
+def link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators import linkrank as LR
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    o = F.col("l_orderkey") * 3
+    p = F.col("l_partkey") * 3 + 1
+    s = F.col("l_suppkey") * 3 + 2
+    edges = (
+        li.select(o.alias("src"), p.alias("dst"))
+        .unionAll(li.select(p.alias("src"), s.alias("dst")))
+        .unionAll(
+            li.filter(F.col("l_suppkey") % 7 != 0).select(s.alias("src"), o.alias("dst"))
+        )
+    )
+    return LR.hits_fixed(edges, iterations=2).select("node", "auth", "hub")

@@ -140,3 +140,81 @@ def anchor_text_rollup(pages: DataFrame, url_col: str, html_col: str) -> DataFra
             F.max(F.when(F.col("rn") == 1, F.col("text"))).alias("top_text"),
         )
     )
+
+
+HITS_SCALE = 10**6
+
+
+def hits_fixed(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """K-iteration integer HITS (Kleinberg 1999, "Authoritative sources in a
+    hyperlinked environment") — the hub/authority companion to
+    :func:`pagerank_fixed` for crawl prioritization: authority scores rank
+    CONTENT pages worth fetching; hub scores rank LISTING pages worth
+    re-crawling for fresh outlinks (the nrsr.sk member/session listing pages
+    are textbook hubs; reference spiders hardcode that structure, this
+    derives it from the link graph).
+
+    Exact integer arithmetic so the result is hash-gated against a DuckDB
+    oracle: start from h0(u) = SCALE div N; each half-step is an integer sum
+    over edges followed by L1 renormalization ``v * SCALE div Σv`` (floor
+    division — bit-identical in Spark ``div`` and DuckDB ``//``).  After
+    renormalization every score is ≤ SCALE = 10^6 and the pre-normalization
+    edge sums are bounded by SCALE · max_degree, so int64 never overflows
+    below max_degree ≈ 10^12 — far beyond any real page's in/out degree.
+
+    Returns (node:long, auth:long, hub:long).
+
+    Scale shape (10^10 edges): edges dedup+persist ONCE, partitioned on the
+    join side of each half-step; each half-step is one partial-aggregated
+    groupBy of the O(N) score table (the O(E) edge table never re-shuffles);
+    the normalizer is a 1-row aggregate broadcast back; ``localCheckpoint``
+    truncates per-iteration lineage exactly as in pagerank_fixed.
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # bounded driver scalar
+    hub = nodes.select("node", F.lit(HITS_SCALE // n).cast("long").alias("score"))
+    auth = None
+    for _ in range(iterations):
+        auth = _hits_half(e, nodes, hub, src_to_dst=True)
+        hub = _hits_half(e, nodes, auth, src_to_dst=False)
+    out = (
+        nodes.join(auth.withColumnRenamed("score", "auth"), "node", "left")
+        .join(hub.withColumnRenamed("score", "hub"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def _hits_half(e: DataFrame, nodes: DataFrame, score: DataFrame, src_to_dst: bool) -> DataFrame:
+    """One HITS half-step: propagate ``score`` across edges (src→dst for the
+    authority update, dst→src for the hub update), then L1-renormalize to
+    HITS_SCALE total mass in floor-division integer arithmetic."""
+    key, other = ("src", "dst") if src_to_dst else ("dst", "src")
+    raw = (
+        e.join(score.withColumnRenamed("node", key), key)
+        .groupBy(F.col(other).alias("node"))
+        .agg(F.sum("score").alias("v"))
+    )
+    total = raw.agg(F.coalesce(F.sum("v"), F.lit(1)).cast("long").alias("t"))
+    nxt = (
+        nodes.join(raw, "node", "left")
+        .crossJoin(broadcast(total))
+        .select(
+            "node",
+            F.expr(f"(coalesce(v, 0L) * {HITS_SCALE}L) div t").cast("long").alias("score"),
+        )
+    )
+    return nxt.localCheckpoint(eager=True)

@@ -79,3 +79,59 @@ def test_anchor_text_rollup_tie_breaks_lexicographic(spark):
     )
     (row,) = anchor_text_rollup(pages, "page_url", "html").collect()
     assert row["top_text"] == "aaa" and row["n_texts"] == 2
+
+
+# -- HITS hub/authority -------------------------------------------------------
+
+
+def _py_hits(edges: list[tuple[int, int]], k: int) -> dict[int, tuple[int, int]]:
+    from nrsr_crawler_spark.operators.linkrank import HITS_SCALE
+
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+
+    def half(score: dict[int, int], src_to_dst: bool) -> dict[int, int]:
+        raw = {v: 0 for v in nodes}
+        for u, v in e:
+            if src_to_dst:
+                raw[v] += score[u]
+            else:
+                raw[u] += score[v]
+        total = sum(raw.values()) or 1
+        return {v: (raw[v] * HITS_SCALE) // total for v in nodes}
+
+    hub = {v: HITS_SCALE // n for v in nodes}
+    auth = hub
+    for _ in range(k):
+        auth = half(hub, True)
+        hub = half(auth, False)
+    return {v: (auth[v], hub[v]) for v in nodes}
+
+
+def test_hits_matches_python_reference(spark):
+    from nrsr_crawler_spark.operators.linkrank import hits_fixed
+
+    # hub node 1 points at 2,3,4; 2,3 also cross-link; 5 isolated-ish feeder
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 2), (5, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.auth, r.hub) for r in hits_fixed(df, iterations=2).collect()}
+    assert got == _py_hits(edges, 2)
+    # node 1 links every content page -> top hub; it has one weak in-link
+    assert got[1][1] == max(h for _, h in got.values())
+    # node 4 has in-links only -> zero hub
+    assert got[4][1] == 0
+
+
+def test_hits_l1_renormalization_bound(spark):
+    from nrsr_crawler_spark.operators.linkrank import HITS_SCALE, hits_fixed
+
+    edges = [(i, (i * 5 + 2) % 40) for i in range(40)] + [(i, (i + 3) % 40) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = hits_fixed(df, iterations=2).collect()
+    n = len(out)
+    for col in ("auth", "hub"):
+        mass = sum(r[col] for r in out)
+        # floor division may only leak, never create, mass
+        assert mass <= HITS_SCALE
+        assert mass >= HITS_SCALE - n
