@@ -417,3 +417,6 @@ import nrsr_crawler_spark.entry_queries_stream  # noqa: E402,F401
 
 # typed item extraction end-to-end (HTML → parse → fold → keyed merge)
 import nrsr_crawler_spark.entry_queries_items  # noqa: E402,F401
+
+# round-4 additive wave (containment / eTLD+1 / DSIR / tile-hash)
+import nrsr_crawler_spark.entry_queries_r4  # noqa: E402,F401

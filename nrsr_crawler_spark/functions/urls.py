@@ -336,3 +336,48 @@ def strip_tracking(
     return F.when(canon_url.isNull(), F.lit(None).cast("string")).otherwise(
         F.when((qpos == 0) | (kept == ""), base).otherwise(F.concat(base, F.lit("?"), kept))
     )
+
+
+# -- registrable domain (eTLD+1) ------------------------------------------------
+
+# Minimal built-in snapshot of the Mozilla Public Suffix List's most common
+# two-level suffixes.  The full PSL (~9k rules, publicsuffix.org) would ship
+# as a broadcast lookup table at deploy time; the LOGIC — longest known
+# suffix wins, registrable domain = suffix + one label — is what this
+# implements, as a pure column expression (no UDF, stays in codegen).
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au", "edu.au",
+    "co.nz", "org.nz", "co.za", "co.in", "co.kr", "co.id",
+    "com.br", "com.mx", "com.ar", "com.cn", "com.tw", "com.sg",
+    "com.tr", "com.hk", "com.my", "com.ua", "org.pl", "com.pl",
+)
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 from a host: the per-SITE (not per-host) key that politeness
+    budgets, trap demotion, and domain-level corpus rollups group on —
+    ``www.nrsr.sk``, ``m.nrsr.sk``, ``static.nrsr.sk`` are one crawl
+    citizen ``nrsr.sk``, while ``a.co.uk`` / ``b.co.uk`` must NOT collapse
+    into ``co.uk``.
+
+    Rules (PSL semantics over the built-in suffix snapshot):
+     - IPv4 literal → the address itself (no registrable domain concept);
+     - single-label host (``localhost``) → NULL;
+     - last two labels in TWO_LEVEL_SUFFIXES and ≥3 labels → last THREE
+       labels; else → last TWO labels.
+
+    Pure string/case arithmetic — one WholeStageCodegen expression per row,
+    no shuffle, no UDF, NULL-safe on NULL/malformed hosts.
+    """
+    n_dots = F.length(host) - F.length(F.replace(host, F.lit("."), F.lit("")))
+    is_ip = host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+    last2 = F.substring_index(host, ".", -2)
+    last3 = F.substring_index(host, ".", -3)
+    return (
+        F.when(host.isNull() | (n_dots == 0), F.lit(None).cast("string"))
+        .when(is_ip, host)
+        .when(last2.isin(*TWO_LEVEL_SUFFIXES) & (n_dots >= 2), last3)
+        .otherwise(last2)
+    )

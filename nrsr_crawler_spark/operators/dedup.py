@@ -475,3 +475,66 @@ def neardup_keep_best(
             (-F.col("w.nq")).alias("kept_quality"),
         )
     )
+
+
+# -- Containment (asymmetric near-dup) -----------------------------------------
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed pairs where doc A is CONTAINED in doc B: Broder containment
+    C(A,B) = |S(A)∩S(B)| / |S(A)| ≥ threshold (Broder 1997, "On the
+    resemblance and containment of documents").
+
+    Complements symmetric Jaccard: a short quote-post wholly embedded in a
+    long article has tiny Jaccard (union is dominated by the article) but
+    containment ≈ 1 — exactly the subset/expansion duplicates a training
+    corpus needs pruned (keep the superset, drop the fragment).  Integer
+    cross-multiplied threshold: common·den ≥ n_contained·num.
+
+    Returns (contained_id, container_id, common, n_contained, n_container);
+    both directions of an unordered pair may appear when the docs mutually
+    contain each other (high resemblance).
+
+    Scale shape: same as :func:`jaccard_pairs` — only docs sharing ≥1
+    shingle meet (self-join on shingle, ``max_df`` stop-shingle cap kills
+    hot shingles), one pair-count groupBy, two broadcast-size joins; the
+    directed emit is a union of two filters over the SAME pair aggregate,
+    not a second shingle join.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+    )
+    fwd = common.filter(F.col("common") * threshold_den >= F.col("na") * threshold_num).select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        "common",
+        F.col("na").alias("n_contained"),
+        F.col("nb").alias("n_container"),
+    )
+    rev = common.filter(F.col("common") * threshold_den >= F.col("nb") * threshold_num).select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        "common",
+        F.col("nb").alias("n_contained"),
+        F.col("na").alias("n_container"),
+    )
+    return fwd.unionByName(rev)

@@ -314,3 +314,85 @@ def crossmodal_groups(
         caption_star_edges(images, id_col, caption_col)
     )
     return phash_connected_groups(edges, images, id_col=id_col, max_rounds=max_rounds)
+
+
+# -- tile hashing: crop/re-encode-resistant near-dup ---------------------------
+
+TILE_SCHEMA = "image_id string, tr int, tc int, tile_hash long"
+
+
+def tile_hashes(images: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes", tile: int = 16) -> DataFrame:
+    """Per-image grid of origin-aligned ``tile``×``tile`` pixel tiles, each
+    perceptually hashed — the robust-hash family behind crop-resistant image
+    dedup (Steinebach 2011-style segment hashing): a single global phash
+    flips many bits when an image is padded or cropped, but interior tiles
+    hash identically, so near-dups survive as "≥ m matching tiles".
+
+    Resists: lossy re-encode (per-tile phash, not byte hash), right/bottom
+    crops and pad-extends (tiles are ORIGIN-aligned absolute pixel blocks,
+    so surviving regions keep their (tr, tc) coordinates).  Arbitrary-offset
+    crops shift tile boundaries and need keypoint alignment — out of scope,
+    documented, same limitation as the published segment-hash schemes.
+
+    One Arrow decode pass (mapInPandas over the bytes column, the only
+    pixel touch); emits (image_id, tr, tc, tile_hash) — ≤ (w//tile)·(h//tile)
+    rows per image, partial tiles at the ragged edge skipped so a crop
+    can't perturb kept hashes.
+    """
+    import pandas as pd
+
+    from nrsr_crawler_spark.sources.images import decode_image_any, phash64
+
+    src = images.select(F.col(id_col).alias("image_id"), F.col(bytes_col).alias("bytes"))
+
+    def _gen(batches):
+        for pdf in batches:
+            out = {"image_id": [], "tr": [], "tc": [], "tile_hash": []}
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                px, _ = decode_image_any(bytes(data))
+                h, w = px.shape
+                for r in range(h // tile):
+                    for c in range(w // tile):
+                        t = px[r * tile : (r + 1) * tile, c * tile : (c + 1) * tile]
+                        out["image_id"].append(iid)
+                        out["tr"].append(r)
+                        out["tc"].append(c)
+                        out["tile_hash"].append(phash64(t))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(_gen, schema=TILE_SCHEMA)
+
+
+def tile_neardup_pairs(
+    tiles: DataFrame,
+    min_matching_tiles: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b, n_match) sharing ≥ ``min_matching_tiles`` tiles at
+    the SAME (tr, tc) coordinate with the SAME tile hash.
+
+    Scale shape: self-join on the (tr, tc, tile_hash) bucket key — work is
+    Σ bucket², never n²; ``max_df`` drops hot buckets (flat black/white
+    tiles that would otherwise pair every letterboxed image with every
+    other) with the same semantics as the stop-shingle cap in
+    dedup.jaccard_pairs; one pair-count groupBy ends the plan.
+    """
+    key = ["tr", "tc", "tile_hash"]
+    t = tiles
+    if max_df is not None:
+        hot = (
+            t.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select(*key)
+        )
+        t = t.join(hot, key, "left_anti")
+    a = t.select(F.col("image_id").alias("id_a"), *key)
+    b = t.select(F.col("image_id").alias("id_b"), *key)
+    return (
+        a.join(b, key)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") >= min_matching_tiles)
+    )

@@ -111,3 +111,31 @@ def test_incremental_dedup_verdicts(spark):
     assert out[102] == ("novel", None)
     # every batch doc gets exactly one verdict row
     assert len(out) == 3
+
+
+def test_containment_catches_embedded_fragment_jaccard_misses(spark):
+    from nrsr_crawler_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    frag = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, f"{filler} {frag}"), (2, frag), (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    # symmetric Jaccard at 50%: the fragment drowns in the article's union
+    assert jaccard_pairs(docs, "doc_id", "text", 3, 1, 2).count() == 0
+    got = containment_pairs(docs, "doc_id", "text", 3, threshold_num=9, threshold_den=10).collect()
+    assert [(r.contained_id, r.container_id) for r in got] == [(2, 1)]
+    (row,) = got
+    # every one of the fragment's 3 trigrams appears in the article
+    assert row.common == row.n_contained == 3 and row.n_container > 30
+
+
+def test_containment_mutual_when_docs_identical(spark):
+    from nrsr_crawler_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    got = {(r.contained_id, r.container_id) for r in containment_pairs(docs, "doc_id", "text").collect()}
+    assert got == {(1, 2), (2, 1)}

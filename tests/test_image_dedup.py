@@ -201,3 +201,46 @@ def test_star_contraction_singletons_and_method_flag(spark):
     assert got == {"a": "a", "b": "b", "c": "c"}
     with pytest.raises(ValueError):
         ID.phash_connected_groups(empty, images, method="nope")
+
+
+# -- tile hashing (crop/re-encode resistance) ----------------------------------
+
+
+def test_tile_hashes_catch_crop_that_breaks_global_phash(spark):
+    from nrsr_crawler_spark.operators.image_dedup import tile_hashes, tile_neardup_pairs
+    from nrsr_crawler_spark.sources.images import encode_image, original_pixels, phash64
+
+    px = original_pixels("tile-demo", min_px=48, max_px=48)  # 48x48, 3x3 tile grid
+    rows = [
+        ("crop", bytearray(encode_image(px[:32, :32], "png"))),  # bottom/right crop
+        ("orig", bytearray(encode_image(px, "png"))),
+        ("reenc", bytearray(encode_image(px, "jpeg"))),  # lossy re-encode
+    ]
+    # the crop flips the GLOBAL phash far past any Hamming ball...
+    assert bin(phash64(px) ^ phash64(px[:32, :32])).count("1") > 8
+    imgs = spark.createDataFrame(rows, "image_id string, bytes binary")
+    tiles = tile_hashes(imgs, tile=16)
+    # ...but origin-aligned tiles survive: 4/4 for the crop, 7/9 for the
+    # 6-bit-quantized re-encode (deterministic FIMG codec)
+    pairs = {
+        (r.id_a, r.id_b): r.n_match
+        for r in tile_neardup_pairs(tiles, min_matching_tiles=3).collect()
+    }
+    assert pairs == {("crop", "orig"): 4, ("orig", "reenc"): 7, ("crop", "reenc"): 3}
+
+
+def test_tile_neardup_hot_bucket_cap(spark):
+    from nrsr_crawler_spark.operators.image_dedup import tile_neardup_pairs
+
+    # 20 unrelated images all sharing one flat "letterbox" tile at (0,0);
+    # img0/img1 additionally share 3 real tiles
+    rows = [(f"img{i:02d}", 0, 0, 0) for i in range(20)]
+    rows += [(f"img{i:02d}", 1, t, 100 + 10 * i + t) for i in range(2, 20) for t in range(3)]
+    rows += [(f"img{i:02d}", 1, t, 7000 + t) for i in (0, 1) for t in range(3)]
+    tiles = spark.createDataFrame(rows, "image_id string, tr int, tc int, tile_hash long")
+    # uncapped: the hot tile alone pairs nothing at min 2, but img0-img1 get 4
+    got = {(r.id_a, r.id_b): r.n_match for r in tile_neardup_pairs(tiles, 2).collect()}
+    assert got == {("img00", "img01"): 4}
+    # capped: the 20-row bucket is dropped, the pair keeps only its 3 real tiles
+    got = {(r.id_a, r.id_b): r.n_match for r in tile_neardup_pairs(tiles, 2, max_df=10).collect()}
+    assert got == {("img00", "img01"): 3}

@@ -173,3 +173,44 @@ def test_curriculum_order_interleaves_and_ascends(spark):
         key=lambda r: r["order_key"],
     )
     assert [r["doc_id"] for r in again] == [r["doc_id"] for r in out]
+
+
+def test_importance_weights_match_python_reference(spark):
+    import hashlib
+
+    from nrsr_crawler_spark.operators.sampling import importance_weights
+
+    docs = [
+        (1, "parliament session vote law", "wiki"),
+        (2, "spam casino bonus click click", "web"),
+        (3, "law vote parliament debate committee", "wiki"),
+        (4, "click here casino vote", "web"),
+    ]
+    B, SCALE = 16, 1_000_000
+
+    def bucket(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % B
+
+    raw = [(d, bucket(w)) for d, t, _ in docs for w in t.split(" ")]
+    tgt = [b for d, b in raw if d in (1, 3)]
+    rc: dict[int, int] = {}
+    tc: dict[int, int] = {}
+    for _, b in raw:
+        rc[b] = rc.get(b, 0) + 1
+    for b in tgt:
+        tc[b] = tc.get(b, 0) + 1
+    ratio = {b: (tc.get(b, 0) + 1) * SCALE // (rc[b] + 1) for b in rc}
+    exp = {}
+    for d, _, _ in docs:
+        bs = [b for dd, b in raw if dd == d]
+        s = sum(ratio[b] for b in bs)
+        exp[d] = (len(bs), s, s // len(bs))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = importance_weights(
+        sdf, sdf.filter("source = 'wiki'"), "doc_id", "text", n_buckets=B, scale=SCALE
+    )
+    got = {r.doc_id: (r.n_tokens, r.score, r.avg_weight) for r in out.collect()}
+    assert got == exp
+    # target-like docs outrank the spam by length-normalized weight
+    assert min(got[1][2], got[3][2]) > max(got[2][2], got[4][2])

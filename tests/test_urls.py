@@ -151,3 +151,26 @@ def test_strip_tracking_idempotent_and_hash_collapse(spark):
     twice = [r.s for r in out.select(U.strip_tracking(F.col("s")).alias("s")).collect()]
     assert once == twice  # idempotent on its own output
     assert once[0] == once[1]  # tracking aliases collapse to one URL
+
+
+def test_registrable_domain_psl_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from nrsr_crawler_spark.functions.urls import registrable_domain
+
+    cases = [
+        ("www.nrsr.sk", "nrsr.sk"),
+        ("m.nrsr.sk", "nrsr.sk"),  # same crawl citizen as www
+        ("nrsr.sk", "nrsr.sk"),
+        ("a.example.co.uk", "example.co.uk"),  # 2-level suffix -> 3 labels
+        ("example.co.uk", "example.co.uk"),
+        ("deep.sub.example.com.au", "example.com.au"),
+        ("10.1.2.7", "10.1.2.7"),  # IPv4 literal: itself
+        ("localhost", None),  # single label: no registrable domain
+        (None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [r.d for r in df.select(registrable_domain(F.col("host")).alias("d")).collect()]
+    assert got == [e for _, e in cases]
+    # a.co.uk and b.co.uk must NOT collapse into co.uk
+    assert got[3] != "co.uk" and got[4] != "co.uk"
