@@ -523,18 +523,30 @@ def containment_pairs(
         .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
     )
-    fwd = common.filter(F.col("common") * threshold_den >= F.col("na") * threshold_num).select(
-        F.col("id_a").alias("contained_id"),
-        F.col("id_b").alias("container_id"),
-        "common",
-        F.col("na").alias("n_contained"),
-        F.col("nb").alias("n_container"),
+    # single pass over the pair aggregate: a UNION of two filtered selects
+    # would re-execute the whole shingle join + groupBy subtree twice (the
+    # optimizer does not CSE across union branches); exploding a per-row
+    # conditional array emits 0-2 directed rows from ONE aggregate.
+    def arm(cid: str, kid: str, nc: str, nk: str) -> Column:
+        return F.when(
+            F.col("common") * threshold_den >= F.col(nc) * threshold_num,
+            F.struct(
+                F.col(cid).alias("contained_id"),
+                F.col(kid).alias("container_id"),
+                F.col("common").alias("common"),
+                F.col(nc).alias("n_contained"),
+                F.col(nk).alias("n_container"),
+            ),
+        )
+
+    return (
+        common.select(
+            F.explode(
+                F.filter(
+                    F.array(arm("id_a", "id_b", "na", "nb"), arm("id_b", "id_a", "nb", "na")),
+                    lambda s: s.isNotNull(),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
     )
-    rev = common.filter(F.col("common") * threshold_den >= F.col("nb") * threshold_num).select(
-        F.col("id_b").alias("contained_id"),
-        F.col("id_a").alias("container_id"),
-        "common",
-        F.col("nb").alias("n_contained"),
-        F.col("na").alias("n_container"),
-    )
-    return fwd.unionByName(rev)

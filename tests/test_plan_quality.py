@@ -323,3 +323,54 @@ def test_fourth_wave_ops_stay_jvm_side_no_cartesian(spark):
         assert "BatchEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_containment_single_shingle_subtree(spark):
+    # the directed emit must reuse ONE pair aggregate (explode of a
+    # conditional array), not a union that re-runs the shingle join twice
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    import re
+
+    plan = _plan(QUERIES["dedup_containment"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 4
+    assert "Union" not in plan
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_domain_rollup_pure_codegen_single_exchange(spark):
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["domain_rollup"](spark, SF))
+    # eTLD+1 is string/case arithmetic: no Python, one groupBy exchange pair
+    import re
+
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one narrow load repartition + one partial->final agg exchange
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["docs_dsir_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # the 64-row ratio table
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    # top-100 must be a TakeOrdered, never a global Sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tile_neardup_no_cartesian(spark):
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["images_tile_neardup"](spark, SF))
+    # the 16-row tile grid is a broadcast nested loop, never CartesianProduct;
+    # the pair join buckets on (tr, tc, tile_hash)
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hits_edges_partition_once_no_python(spark):
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["link_hits"](spark, SF))
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
