@@ -246,3 +246,103 @@ def images_tile_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tile_neardup_pairs(tiles, min_matching_tiles=9)
+
+
+# ---------------------------------------------------------------------------
+# Domain-level politeness budget (operators/politeness.py pop_budget keyed on
+# functions/urls.py registrable_domain): all subdomains of a site share ONE
+# per-epoch fetch budget — m.site.com, www.site.com, static.site.com can't
+# triple-dip what robots politeness granted the SITE.  Same skew-proof
+# two-level window as the per-host pop; the oracle derives the same top-5
+# per eTLD+1 with a single naive window.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "domain_budget_pop",
+    f"""
+    WITH hosts AS ({_HOSTS_SQL.replace("END AS host", "END AS host, c_custkey AS seq, c_custkey % 3 AS priority")}),
+    rd AS (
+        SELECT seq, priority,
+               CASE
+                 WHEN host IS NULL OR len(string_split(host, '.')) <= 1 THEN NULL
+                 WHEN regexp_matches(host, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$') THEN host
+                 WHEN len(string_split(host, '.')) >= 3
+                      AND (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+                          IN ({_SUFFIX_SQL})
+                   THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2]
+                        || '.' || string_split(host, '.')[-1]
+                 ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+               END AS domain
+        FROM hosts
+    )
+    SELECT domain, seq, priority, rk FROM (
+        SELECT domain, seq, priority,
+               ROW_NUMBER() OVER (PARTITION BY domain ORDER BY priority DESC, seq DESC) AS rk
+        FROM rd
+    ) WHERE rk <= 5
+    """,
+)
+def domain_budget_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.politeness import pop_budget
+
+    cust = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    sub = (
+        F.when(k % 4 == 0, "www.")
+        .when(k % 4 == 1, "m.")
+        .when(k % 4 == 2, "static.")
+        .otherwise("")
+    )
+    suffix = (
+        F.when(k % 6 == 0, "com")
+        .when(k % 6 == 1, "sk")
+        .when(k % 6 == 2, "org")
+        .when(k % 6 == 3, "co.uk")
+        .when(k % 6 == 4, "com.au")
+        .otherwise("io")
+    )
+    host = (
+        F.when(k % 97 == 0, F.concat(F.lit("10.1."), (k % 200).cast("string"), F.lit(".7")))
+        .when(k % 89 == 0, F.lit("localhost"))
+        .otherwise(F.concat(sub, F.lit("site"), (k % 40).cast("string"), F.lit("."), suffix))
+    )
+    frontier = cust.select(
+        registrable_domain(host).alias("domain"),
+        k.alias("seq"),
+        (k % 3).cast("long").alias("priority"),
+        F.xxhash64(k).alias("url_hash"),
+    )
+    popped = pop_budget(frontier, budget=5, host_col="domain")
+    return popped.select("domain", "seq", "priority", "rk")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (operators/text.py bpe_pair_counts, Sennrich et al.
+# 2016): corpus-wide adjacent char-pair frequencies over word instances — the
+# counting kernel a BPE tokenizer trainer loops on.  Top-50 by count with a
+# lexicographic tie-break so the result is a deterministic TakeOrdered.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bpe_pairs",
+    """
+    WITH w AS (
+        SELECT t.w FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) t WHERE len(t.w) >= 2
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+        FROM w, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+    )
+    SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nrsr_crawler_spark.operators.text import bpe_pair_counts
+
+    counts = bpe_pair_counts(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return counts.orderBy(F.col("n").desc(), F.col("pair")).limit(50)

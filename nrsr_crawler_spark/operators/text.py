@@ -691,3 +691,34 @@ def cdc_chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.md5(F.col("c.chunk_text")).alias("chunk_hash"),
     )
+
+
+# -- BPE merge-pair counting (tokenizer-training prep) --------------------------
+
+def bpe_pair_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the first merge step
+    of BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"): the highest-count pair
+    is the first merge rule; re-running after each merge yields the full
+    vocabulary.  This computes the counting kernel the trainer loops on.
+
+    Pairs are word-internal (BPE never merges across whitespace), counted
+    over word INSTANCES so frequent words weigh more, via pure codegen:
+    explode words, explode positions 1..len-1, substring(w, i, 2), one
+    partial-aggregated groupBy.  No Python, no window; at 100 TB the pair
+    domain is ≤ |charset|² keys so the final aggregate is tiny.
+
+    Returns (pair string, n long).
+    """
+    w = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    return (
+        w.select(
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+            F.col("w"),
+        )
+        .select(F.substring(F.col("w"), F.col("i"), 2).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

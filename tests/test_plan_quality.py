@@ -374,3 +374,20 @@ def test_hits_edges_partition_once_no_python(spark):
 
     plan = _plan(QUERIES["link_hits"](spark, SF))
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_domain_budget_pop_uses_window_group_limit(spark):
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["domain_budget_pop"](spark, SF))
+    # both window levels must prune via WindowGroupLimit (rank-limit pushdown)
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_pairs_take_ordered_no_python(spark):
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["text_bpe_pairs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # top-50, never a global sort
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
