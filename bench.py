@@ -45,6 +45,14 @@ HEADLINE = [
     "text_block_dedup",  # C4-style corpus-level span removal + doc rebuild
     "dedup_semantic",  # SemDeDup: codebook cells + within-cell cosine keep-one
     "text_boilerplate_strip",  # CCNet-style per-source frequent-block removal
+    # round-4 wave (budgets pinned from their first measured window; refine
+    # per policy below only with cleaner medians):
+    "link_hits",  # iterative integer HITS, 4 shuffled half-steps
+    "dedup_containment",  # directed Broder containment, shingle self-join
+    "docs_dsir_sample",  # DSIR importance weights: token explode + broadcast ratio
+    "images_tile_neardup",  # tile-hash pair join on (tr, tc, hash) buckets
+    "domain_budget_pop",  # eTLD+1-keyed two-level politeness pop
+    "text_bpe_pairs",  # BPE pair counting: char-pair explode + one aggregate
 ]
 
 # Per-query regression budgets (VERDICT r3 next #5): the cleanest observed
