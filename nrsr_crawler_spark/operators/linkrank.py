@@ -145,7 +145,9 @@ def anchor_text_rollup(pages: DataFrame, url_col: str, html_col: str) -> DataFra
 HITS_SCALE = 10**6
 
 
-def hits_fixed(edges: DataFrame, iterations: int = 2) -> DataFrame:
+def hits_fixed(
+    edges: DataFrame, iterations: int = 2, broadcast_scores: bool | None = None
+) -> DataFrame:
     """K-iteration integer HITS (Kleinberg 1999, "Authoritative sources in a
     hyperlinked environment") — the hub/authority companion to
     :func:`pagerank_fixed` for crawl prioritization: authority scores rank
@@ -164,11 +166,24 @@ def hits_fixed(edges: DataFrame, iterations: int = 2) -> DataFrame:
 
     Returns (node:long, auth:long, hub:long).
 
-    Scale shape (10^10 edges): edges dedup+persist ONCE, partitioned on the
-    join side of each half-step; each half-step is one partial-aggregated
-    groupBy of the O(N) score table (the O(E) edge table never re-shuffles);
-    the normalizer is a 1-row aggregate broadcast back; ``localCheckpoint``
-    truncates per-iteration lineage exactly as in pagerank_fixed.
+    Scale shape (10^10 edges), two regimes on the score-join — same split as
+    the seen-set's bloom broadcast regime (epoch_loop):
+
+    * ``broadcast_scores`` (auto when N ≤ 2·10^6): the O(N) score table is a
+      few tens of MB, so each half-step broadcast-hash-joins it onto the
+      persisted edge table — the O(E) side never shuffles OR sorts, and the
+      only exchange per step is the partial-aggregated O(N) groupBy.
+    * shuffle regime (web scale, N ≫ broadcastable): TWO partitioned copies
+      of the edge table (by src, by dst) persist once, so neither half-step
+      ever re-exchanges the O(E) side — only the O(nonzero nodes) score
+      table moves per step.
+
+    Scores stay SPARSE inside the loop (nodes whose edge-sum is zero are
+    simply absent — zeros contribute nothing to the next edge-sum nor to the
+    L1 normalizer, so the values are bit-identical to the dense recurrence);
+    densification to the full node set happens once, at the output.  The
+    normalizer is a 1-row aggregate broadcast back; ``localCheckpoint``
+    truncates per-half-step lineage exactly as in pagerank_fixed.
     """
     e = edges.select("src", "dst").distinct().persist()
     nodes = (
@@ -178,11 +193,22 @@ def hits_fixed(edges: DataFrame, iterations: int = 2) -> DataFrame:
         .persist()
     )
     n = nodes.count()  # bounded driver scalar
+    if broadcast_scores is None:
+        # 2M nodes ≈ 32 MB of (node, score) longs — comfortably inside the
+        # driver/executor broadcast budget even after hash-table inflation
+        broadcast_scores = n <= 2_000_000
+    if broadcast_scores:
+        e_by_src = e_by_dst = e
+        extra_cached: tuple[DataFrame, ...] = ()
+    else:
+        e_by_src = e.repartition("src").persist()
+        e_by_dst = e.repartition("dst").persist()
+        extra_cached = (e_by_src, e_by_dst)
     hub = nodes.select("node", F.lit(HITS_SCALE // n).cast("long").alias("score"))
     auth = None
     for _ in range(iterations):
-        auth = _hits_half(e, nodes, hub, src_to_dst=True)
-        hub = _hits_half(e, nodes, auth, src_to_dst=False)
+        auth = _hits_half(e_by_src, hub, src_to_dst=True, bc=broadcast_scores)
+        hub = _hits_half(e_by_dst, auth, src_to_dst=False, bc=broadcast_scores)
     out = (
         nodes.join(auth.withColumnRenamed("score", "auth"), "node", "left")
         .join(hub.withColumnRenamed("score", "hub"), "node", "left")
@@ -193,28 +219,28 @@ def hits_fixed(edges: DataFrame, iterations: int = 2) -> DataFrame:
         )
     )
     out = out.localCheckpoint(eager=True)
-    e.unpersist()
-    nodes.unpersist()
+    for cached in (e, nodes, *extra_cached):
+        cached.unpersist()
     return out
 
 
-def _hits_half(e: DataFrame, nodes: DataFrame, score: DataFrame, src_to_dst: bool) -> DataFrame:
+def _hits_half(e: DataFrame, score: DataFrame, src_to_dst: bool, bc: bool = False) -> DataFrame:
     """One HITS half-step: propagate ``score`` across edges (src→dst for the
     authority update, dst→src for the hub update), then L1-renormalize to
-    HITS_SCALE total mass in floor-division integer arithmetic."""
+    HITS_SCALE total mass in floor-division integer arithmetic.  ``bc``
+    broadcast-joins the score table (small-N regime); otherwise ``e`` must
+    be partitioned on the join key so the edge side never exchanges.  The
+    result is sparse: nodes with zero edge-sum are absent (== score 0)."""
     key, other = ("src", "dst") if src_to_dst else ("dst", "src")
+    keyed = score.withColumnRenamed("node", key)
     raw = (
-        e.join(score.withColumnRenamed("node", key), key)
+        e.join(broadcast(keyed) if bc else keyed, key)
         .groupBy(F.col(other).alias("node"))
         .agg(F.sum("score").alias("v"))
     )
     total = raw.agg(F.coalesce(F.sum("v"), F.lit(1)).cast("long").alias("t"))
-    nxt = (
-        nodes.join(raw, "node", "left")
-        .crossJoin(broadcast(total))
-        .select(
-            "node",
-            F.expr(f"(coalesce(v, 0L) * {HITS_SCALE}L) div t").cast("long").alias("score"),
-        )
+    nxt = raw.crossJoin(broadcast(total)).select(
+        "node",
+        F.expr(f"(v * {HITS_SCALE}L) div t").cast("long").alias("score"),
     )
     return nxt.localCheckpoint(eager=True)

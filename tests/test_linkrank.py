@@ -123,6 +123,17 @@ def test_hits_matches_python_reference(spark):
     assert got[4][1] == 0
 
 
+def test_hits_shuffle_regime_matches_broadcast_regime(spark):
+    # the web-scale path (pre-partitioned edge copies, shuffled score join)
+    # must be bit-identical to the small-N broadcast path
+    from nrsr_crawler_spark.operators.linkrank import hits_fixed
+
+    edges = [(i, (i * 5 + 2) % 23) for i in range(23)] + [(i, (i + 7) % 23) for i in range(23)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.auth, r.hub) for r in hits_fixed(df, iterations=2, broadcast_scores=False).collect()}
+    assert got == _py_hits(edges, 2)
+
+
 def test_hits_l1_renormalization_bound(spark):
     from nrsr_crawler_spark.operators.linkrank import HITS_SCALE, hits_fixed
 
