@@ -45,10 +45,23 @@ SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 17, 20
 
 
-def pagerank_fixed(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def pagerank_fixed(
+    edges: DataFrame, iterations: int = 3, broadcast_ranks: bool | None = None
+) -> DataFrame:
     """K-iteration integer PageRank.  ``edges``: (src:long, dst:long),
     multi-edges allowed (deduped here).  Returns (node:long, rank:long)
-    with rank in units of SCALE/N total mass."""
+    with rank in units of SCALE/N total mass.
+
+    Two regimes on the per-iteration O(N) tables (rank, out-degree,
+    contributions) — same split as :func:`hits_fixed`:
+
+    * ``broadcast_ranks`` (auto when N ≤ 2·10^6): the O(N) side of every
+      per-iteration join broadcasts, so the persisted O(E) edge table never
+      exchanges or sorts and the only shuffle per iteration is the
+      partial-aggregated contribution groupBy.
+    * shuffle regime (web scale): edges pre-partitioned on ``src`` once, the
+      O(N) rank table shuffles to it each iteration (never the O(E) side).
+    """
     e = edges.select("src", "dst").distinct().repartition("src").persist()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
     nodes = (
@@ -59,15 +72,20 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3) -> DataFrame:
     )
     n = nodes.count()  # bounded driver scalar (one long), not a row collect
     base = ((3 * SCALE) // DAMP_DEN) // n
+    if broadcast_ranks is None:
+        # 2M nodes ≈ 32 MB of paired longs — inside the broadcast budget
+        # even after hash-table inflation (see hits_fixed)
+        broadcast_ranks = n <= 2_000_000
+    bc = broadcast if broadcast_ranks else (lambda df: df)
 
     r = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank")).persist()
     for _ in range(iterations):
-        ranked = r.join(out_deg, r["node"] == out_deg["src"], "left")
+        ranked = r.join(bc(out_deg), r["node"] == out_deg["src"], "left")
         shares = ranked.filter(F.col("out_deg").isNotNull()).select(
             F.col("src"), F.expr("rank div out_deg").alias("share")
         )
         contrib = (
-            e.join(shares, "src")
+            e.join(bc(shares), "src")
             .groupBy("dst")
             .agg(F.sum("share").alias("c"))
         )
@@ -76,7 +94,7 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3) -> DataFrame:
         )
         nxt = (
             nodes.crossJoin(broadcast(dangling))
-            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .join(bc(contrib), nodes["node"] == contrib["dst"], "left")
             .select(
                 "node",
                 (

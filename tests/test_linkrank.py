@@ -36,6 +36,18 @@ def test_pagerank_matches_python_reference_with_dangling(spark):
     assert got[5] == min(got.values())
 
 
+def test_pagerank_shuffle_regime_matches_broadcast_regime(spark):
+    # the web-scale path (rank table shuffled to pre-partitioned edges) must
+    # be bit-identical to the small-N broadcast path
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank_fixed(df, iterations=3, broadcast_ranks=False).collect()
+    }
+    assert got == _py_pagerank(edges, 3)
+
+
 def test_pagerank_mass_conservation_bound(spark):
     # floor-division truncation may only LEAK mass, never create it, and the
     # leak is bounded by a few units per node per iteration
