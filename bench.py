@@ -45,8 +45,7 @@ HEADLINE = [
     "text_block_dedup",  # C4-style corpus-level span removal + doc rebuild
     "dedup_semantic",  # SemDeDup: codebook cells + within-cell cosine keep-one
     "text_boilerplate_strip",  # CCNet-style per-source frequent-block removal
-    # round-4 wave (budgets pinned from their first measured window; refine
-    # per policy below only with cleaner medians):
+    # round-4 wave:
     "link_hits",  # iterative integer HITS, 4 shuffled half-steps
     "dedup_containment",  # directed Broder containment, shingle self-join
     "docs_dsir_sample",  # DSIR importance weights: token explode + broadcast ratio
@@ -67,23 +66,34 @@ HEADLINE = [
 # fail.  Update a budget ONLY with a cleaner measured median, never to make
 # a regression pass.
 QUERY_BUDGETS_SEC = {
-    "flagship_frontier_schedule": 2.14,
-    "q1_pricing_summary": 0.59,
-    "j3_missing_presses": 1.95,
-    "o3_frontier_pop": 0.62,
-    "a1_clubs_sessionize": 0.81,
-    "dedup_minhash_lsh": 2.09,
-    "dedup_simhash": 0.91,
-    "ann_bruteforce_topk": 0.50,
-    "text_quality": 0.28,
-    "items_voting_votes": 1.42,
-    "images_phash_neardup": 0.56,
-    "text_substring_dedup": 0.31,
-    "link_pagerank": 6.20,
-    "images_quality_gate": 0.50,
-    "text_block_dedup": 0.33,
-    "dedup_semantic": 0.90,
-    "text_boilerplate_strip": 0.38,
+    # refreshed from the r4 full-bench reading (cpu/mem control eff
+    # 0.956/0.513 — the cleanest full-bench window on record) per the
+    # min-across-windows policy; link_pagerank/link_hits additionally
+    # re-pinned after the broadcast-regime optimizations (idle-window
+    # medians 4.34 / 4.88 s)
+    "flagship_frontier_schedule": 1.71,
+    "q1_pricing_summary": 0.41,
+    "j3_missing_presses": 1.28,
+    "o3_frontier_pop": 0.44,
+    "a1_clubs_sessionize": 0.55,
+    "dedup_minhash_lsh": 1.44,
+    "dedup_simhash": 0.70,
+    "ann_bruteforce_topk": 0.38,
+    "text_quality": 0.22,
+    "items_voting_votes": 1.10,
+    "images_phash_neardup": 0.49,
+    "text_substring_dedup": 0.24,
+    "link_pagerank": 4.34,
+    "images_quality_gate": 0.42,
+    "text_block_dedup": 0.24,
+    "dedup_semantic": 0.71,
+    "text_boilerplate_strip": 0.29,
+    "link_hits": 4.88,
+    "dedup_containment": 1.72,
+    "docs_dsir_sample": 1.03,
+    "images_tile_neardup": 0.41,
+    "domain_budget_pop": 0.38,
+    "text_bpe_pairs": 0.47,
 }
 
 
