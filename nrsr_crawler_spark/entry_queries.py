@@ -420,3 +420,7 @@ import nrsr_crawler_spark.entry_queries_items  # noqa: E402,F401
 
 # round-4 additive wave (containment / eTLD+1 / DSIR / tile-hash)
 import nrsr_crawler_spark.entry_queries_r4  # noqa: E402,F401
+
+# round-4 wave B (OPIC / graph stats / quota / systematic sample /
+# perplexity bits / TF-IDF / shard plan)
+import nrsr_crawler_spark.entry_queries_r4b  # noqa: E402,F401
