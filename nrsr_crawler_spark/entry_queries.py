@@ -424,3 +424,6 @@ import nrsr_crawler_spark.entry_queries_r4  # noqa: E402,F401
 # round-4 wave B (OPIC / graph stats / quota / systematic sample /
 # perplexity bits / TF-IDF / shard plan)
 import nrsr_crawler_spark.entry_queries_r4b  # noqa: E402,F401
+
+# round-4 wave C (triangle counting / mixture epoch plan)
+import nrsr_crawler_spark.entry_queries_r4c  # noqa: E402,F401
