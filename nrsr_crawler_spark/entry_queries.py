@@ -427,3 +427,6 @@ import nrsr_crawler_spark.entry_queries_r4b  # noqa: E402,F401
 
 # round-4 wave C (triangle counting / mixture epoch plan)
 import nrsr_crawler_spark.entry_queries_r4c  # noqa: E402,F401
+
+# round-4 wave D (filter funnel / cluster-size histogram reports)
+import nrsr_crawler_spark.entry_queries_r4d  # noqa: E402,F401
