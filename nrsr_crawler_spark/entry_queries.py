@@ -430,3 +430,6 @@ import nrsr_crawler_spark.entry_queries_r4c  # noqa: E402,F401
 
 # round-4 wave D (filter funnel / cluster-size histogram reports)
 import nrsr_crawler_spark.entry_queries_r4d  # noqa: E402,F401
+
+# round-4 wave E (HyperBall neighborhood function)
+import nrsr_crawler_spark.entry_queries_r4e  # noqa: E402,F401
