@@ -433,3 +433,7 @@ import nrsr_crawler_spark.entry_queries_r4d  # noqa: E402,F401
 
 # round-4 wave E (HyperBall neighborhood function)
 import nrsr_crawler_spark.entry_queries_r4e  # noqa: E402,F401
+
+# round-4 wave F (WARC/CDX plan / canonical election / snapshot diff /
+# error-spike report)
+import nrsr_crawler_spark.entry_queries_r4f  # noqa: E402,F401
