@@ -437,3 +437,6 @@ import nrsr_crawler_spark.entry_queries_r4e  # noqa: E402,F401
 # round-4 wave F (WARC/CDX plan / canonical election / snapshot diff /
 # error-spike report)
 import nrsr_crawler_spark.entry_queries_r4f  # noqa: E402,F401
+
+# round-4 wave G (k-core / weighted bottom-k / alignment gate / Heaps curve)
+import nrsr_crawler_spark.entry_queries_r4g  # noqa: E402,F401
