@@ -440,3 +440,6 @@ import nrsr_crawler_spark.entry_queries_r4f  # noqa: E402,F401
 
 # round-4 wave G (k-core / weighted bottom-k / alignment gate / Heaps curve)
 import nrsr_crawler_spark.entry_queries_r4g  # noqa: E402,F401
+
+# round-4 wave H (resolution-ladder resize plan / crawl drain ETA)
+import nrsr_crawler_spark.entry_queries_r4h  # noqa: E402,F401
