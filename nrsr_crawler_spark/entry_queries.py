@@ -443,3 +443,6 @@ import nrsr_crawler_spark.entry_queries_r4g  # noqa: E402,F401
 
 # round-4 wave H (resolution-ladder resize plan / crawl drain ETA)
 import nrsr_crawler_spark.entry_queries_r4h  # noqa: E402,F401
+
+# round-4 wave I (bloom calibration / mixture drift / RRF fusion)
+import nrsr_crawler_spark.entry_queries_r4i  # noqa: E402,F401
