@@ -446,3 +446,6 @@ import nrsr_crawler_spark.entry_queries_r4h  # noqa: E402,F401
 
 # round-4 wave I (bloom calibration / mixture drift / RRF fusion)
 import nrsr_crawler_spark.entry_queries_r4i  # noqa: E402,F401
+
+# round-4 wave J (edit-distance dedup / stopword induction / depth profile)
+import nrsr_crawler_spark.entry_queries_r4j  # noqa: E402,F401
