@@ -449,3 +449,6 @@ import nrsr_crawler_spark.entry_queries_r4i  # noqa: E402,F401
 
 # round-4 wave J (edit-distance dedup / stopword induction / depth profile)
 import nrsr_crawler_spark.entry_queries_r4j  # noqa: E402,F401
+
+# round-4 wave K (co-citation / transition matrix / PMI collocations)
+import nrsr_crawler_spark.entry_queries_r4k  # noqa: E402,F401
