@@ -452,3 +452,6 @@ import nrsr_crawler_spark.entry_queries_r4j  # noqa: E402,F401
 
 # round-4 wave K (co-citation / transition matrix / PMI collocations)
 import nrsr_crawler_spark.entry_queries_r4k  # noqa: E402,F401
+
+# round-4 wave L (redirect resolution / politeness audit / dedup savings)
+import nrsr_crawler_spark.entry_queries_r4l  # noqa: E402,F401

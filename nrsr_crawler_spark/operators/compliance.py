@@ -1,0 +1,73 @@
+"""Politeness-compliance audit over a fetch log.
+
+The scheduler PLANS polite fetches (operators/politeness.py budgets,
+robots Crawl-delay); this audits what actually HAPPENED: per host, the
+inter-arrival gaps between consecutive fetches versus the host's
+required delay, counting violations and the worst (minimum) gap.  Run
+per epoch it catches scheduler bugs, clock-skewed workers, and retry
+storms (operators/retry.py) that bypass pacing — the operational
+counterpart of the reference's AUTOTHROTTLE settings.
+
+Scale shape: ONE window partitioned by host (each partition is one
+host's fetch times — no global order), one partial-agg groupBy, one
+broadcast O(hosts) delay-dimension join.  All integer microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def politeness_audit(
+    fetches: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    ts_us_col: str = "ts_us",
+    tiebreak_col: str = "fetch_id",
+    delay_ms_col: str = "delay_ms",
+) -> DataFrame:
+    """Return (host, n_fetches, n_gaps, n_violations, min_gap_ms, ok):
+    a gap violates when it is strictly shorter than the host's required
+    delay; hosts with a single fetch have no gaps and audit ok."""
+    w = Window.partitionBy(host_col).orderBy(ts_us_col, tiebreak_col)
+    gapped = fetches.select(
+        F.col(host_col).alias("host"),
+        (F.col(ts_us_col) - F.lag(ts_us_col).over(w)).cast("long").alias("gap_us"),
+    )
+    per_host = gapped.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.min("gap_us").alias("_min_gap_us"),
+    )
+    with_delay = per_host.join(
+        broadcast(delays.select(F.col(host_col).alias("host"), delay_ms_col)), "host"
+    )
+    viol = (
+        fetches.select(
+            F.col(host_col).alias("host"),
+            (F.col(ts_us_col) - F.lag(ts_us_col).over(w)).cast("long").alias("gap_us"),
+        )
+        .join(
+            broadcast(delays.select(F.col(host_col).alias("host"), delay_ms_col)),
+            "host",
+        )
+        .filter(
+            F.col("gap_us").isNotNull()
+            & (F.col("gap_us") < F.col(delay_ms_col) * 1000)
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    )
+    return (
+        with_delay.join(viol, "host", "left")
+        .select(
+            "host",
+            "n_fetches",
+            "n_gaps",
+            F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
+            F.expr("_min_gap_us div 1000").cast("long").alias("min_gap_ms"),
+            (F.coalesce("n_violations", F.lit(0)) == 0).alias("ok"),
+        )
+    )
