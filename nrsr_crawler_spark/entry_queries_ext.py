@@ -763,7 +763,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
     """,
@@ -890,7 +890,7 @@ def range_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bucket, event_type,
            COUNT(*) AS n,
-           SUM(c) AS sum_centi,
+           CAST(SUM(c) AS BIGINT) AS sum_centi,
            MIN(c) AS vmin,
            MAX(c) AS vmax
     FROM b GROUP BY bucket, event_type

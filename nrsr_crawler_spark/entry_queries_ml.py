@@ -438,9 +438,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            COALESCE(n_windows, 0) AS n_windows,
-           COALESCE(dup_windows, 0) AS dup_windows,
-           CASE WHEN COALESCE(n_windows, 0) = 0 THEN 0
-                ELSE (dup_windows * 10000) // n_windows END AS dup_bps
+           CAST(COALESCE(dup_windows, 0) AS BIGINT) AS dup_windows,
+           CAST(CASE WHEN COALESCE(n_windows, 0) = 0 THEN 0
+                ELSE (dup_windows * 10000) // n_windows END AS BIGINT) AS dup_bps
     FROM documents d LEFT JOIN per_doc USING (doc_id)
     """,
 )
@@ -478,7 +478,7 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            COALESCE(n_blocks, 0) AS n_blocks,
-           COALESCE(removed_blocks, 0) AS removed_blocks,
+           CAST(COALESCE(removed_blocks, 0) AS BIGINT) AS removed_blocks,
            COALESCE(clean_text, '') AS clean_text
     FROM documents d LEFT JOIN per_doc USING (doc_id)
     """,
@@ -1196,7 +1196,7 @@ def _shards_oracle_sql() -> str:
     return f"""
     SELECT {oracle_shard_sql('doc_id')} AS shard_id,
            COUNT(*) AS n_rows,
-           SUM(LENGTH(text)) AS total_weight,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_weight,
            MIN(doc_id) AS first_key,
            MAX(doc_id) AS last_key
     FROM documents GROUP BY 1
@@ -1270,8 +1270,8 @@ def multimodal_pair_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           SUM(LENGTH(text)) AS total_chars,
-           SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
            COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_unique_fingerprints
     FROM documents GROUP BY source, lang
     """,
@@ -1309,7 +1309,7 @@ def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            COALESCE(n_windows, 0) AS n_windows,
-           COALESCE(eval_hit_windows, 0) AS eval_hit_windows,
+           CAST(COALESCE(eval_hit_windows, 0) AS BIGINT) AS eval_hit_windows,
            CASE WHEN COALESCE(eval_hit_windows, 0) > 0 THEN 1 ELSE 0 END AS contaminated
     FROM documents d LEFT JOIN hits USING (doc_id)
     WHERE d.doc_id % 20 <> 0
@@ -1349,12 +1349,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM g2 GROUP BY doc_id),
     r3 AS (SELECT doc_id, MAX(cnt) AS g3_max FROM g3 GROUP BY doc_id)
     SELECT b.doc_id, b.n_tokens,
-           CASE WHEN b.n_tokens = 0 THEN 0
-                ELSE (COALESCE(g2_max, 0) * 2 * 10000) // b.n_tokens END AS top2gram_bps,
-           CASE WHEN b.n_tokens = 0 THEN 0
-                ELSE (COALESCE(g3_max, 0) * 3 * 10000) // b.n_tokens END AS top3gram_bps,
-           CASE WHEN b.n_tokens = 0 THEN 0
-                ELSE (COALESCE(g2_dup, 0) * 2 * 10000) // b.n_tokens END AS dup2gram_bps
+           CAST(CASE WHEN b.n_tokens = 0 THEN 0
+                ELSE (COALESCE(g2_max, 0) * 2 * 10000) // b.n_tokens END AS BIGINT) AS top2gram_bps,
+           CAST(CASE WHEN b.n_tokens = 0 THEN 0
+                ELSE (COALESCE(g3_max, 0) * 3 * 10000) // b.n_tokens END AS BIGINT) AS top3gram_bps,
+           CAST(CASE WHEN b.n_tokens = 0 THEN 0
+                ELSE (COALESCE(g2_dup, 0) * 2 * 10000) // b.n_tokens END AS BIGINT) AS dup2gram_bps
     FROM base b LEFT JOIN r2 USING (doc_id) LEFT JOIN r3 USING (doc_id)
     """,
 )
@@ -1543,7 +1543,7 @@ def bucketed_seen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),
     w AS (SELECT lang, CAST(round(sqrt(n_stratum) * 1000000) AS BIGINT) AS w FROM c),
     t AS (SELECT SUM(w) AS tot FROM w),
-    q AS (SELECT lang, (200 * w) // tot AS quota FROM w, t),
+    q AS (SELECT lang, CAST((200 * w) // tot AS BIGINT) AS quota FROM w, t),
     r AS (SELECT doc_id, lang,
                  row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS pick_rank
           FROM documents)

@@ -16,6 +16,7 @@ pair the full-registry run certified without re-running it.
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import inspect
 import json
@@ -32,17 +33,59 @@ from nrsr_crawler_spark.sources.tpch import TABLES
 
 
 def norm_cell(v):
+    """Type-exact cell normalization.
+
+    Every scalar is tagged with its Python type name so cross-type equality
+    (the round-3/4 blind spot: ``Decimal(5) == 5`` is True under ``==``) can
+    never report a match the driver's type-sensitive value hash would
+    reject.  A DuckDB ``DECIMAL(38,0)`` therefore mismatches Spark's
+    ``bigint`` loudly instead of silently passing.
+    """
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return ("float", "NaN")
+        return ("float", repr(round(v, 9)))
+    if isinstance(v, decimal.Decimal):
+        # Canonical scale-free repr so Decimal('1.10') == Decimal('1.1')
+        # across engines, while the "Decimal" tag still refuses to match a
+        # plain int on the other side.
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return ("Decimal", s)
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return v
+        return (type(v).__name__, v.isoformat())
+    return (type(v).__name__, str(v))
+
+
+# DuckDB types whose Python fetch representation differs from what Spark
+# emits for the same logical value (Decimal vs int, int vs HUGEINT).  An
+# oracle emitting one of these is a latent driver-red even when the local
+# values "match" — ban them outright.
+BANNED_TYPE_PREFIXES = ("DECIMAL", "HUGEINT", "UHUGEINT")
+
+
+def sweep_oracle_types(con, oracles: dict) -> list[str]:
+    """Registry-wide assertion that no oracle emits a banned DuckDB type.
+
+    ``DESCRIBE SELECT ...`` binds without executing, so this is cheap to run
+    over the whole registry.  Returns a list of human-readable violations.
+    """
+    bad: list[str] = []
+    for name, sql in sorted(oracles.items()):
+        try:
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: DESCRIBE failed: {e}")
+            continue
+        for col, ctype, *_ in rows:
+            if any(str(ctype).upper().startswith(p) for p in BANNED_TYPE_PREFIXES):
+                bad.append(f"{name}: column {col} has banned oracle type {ctype}")
+    return bad
 
 
 def canon_rows(cols, rows):
@@ -82,6 +125,15 @@ def main() -> int:
 
     failures = 0
     report: dict[str, dict] = {}
+
+    # Registry-wide type sweep first: any oracle emitting DECIMAL/HUGEINT is
+    # a latent driver-red regardless of whether local values compare equal.
+    type_violations = sweep_oracle_types(
+        con, {k: v for k, v in oracles.items() if not only or k in only}
+    )
+    for viol in type_violations:
+        print(f"FAIL type-sweep: {viol}")
+        failures += 1
 
     def record(name, rows, green, fn, mode="oracle"):
         report[name] = {
@@ -142,6 +194,8 @@ def main() -> int:
             "sf_dir": sf_dir,
             "total": len(report),
             "green": sum(1 for v in report.values() if v["green"]),
+            "type_violations": type_violations,
+            "compare": "type-exact (r5 strict mirror)",
             "queries": report,
         }
         with open(json_out, "w") as f:
