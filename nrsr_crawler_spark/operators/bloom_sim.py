@@ -24,7 +24,17 @@ from pyspark.sql.functions import broadcast
 
 
 def _positions(url_col: str, m: int, k: int) -> F.Column:
-    """Array of k bit positions for a URL (md5 4-hex-char slices mod m)."""
+    """Array of k bit positions for a URL (md5 4-hex-char slices mod m).
+
+    Each position is derived from a 4-hex-char md5 slice (max 65535), so
+    m > 65536 would silently bias every position into [0, 65536) and never
+    set higher bits; k > 8 would run past the 32-char md5 digest.  Fail
+    loudly instead of returning skewed occupancy/FPR.
+    """
+    if m > 65536:
+        raise ValueError(f"m={m} exceeds 65536 (4-hex-char slice range)")
+    if k > 8:
+        raise ValueError(f"k={k} exceeds 8 (32-char md5 digest / 4 chars each)")
     return F.array(
         *[
             F.conv(F.substring(F.md5(F.col(url_col)), 1 + 4 * i, 4), 16, 10).cast(

@@ -36,38 +36,36 @@ def politeness_audit(
         F.col(host_col).alias("host"),
         (F.col(ts_us_col) - F.lag(ts_us_col).over(w)).cast("long").alias("gap_us"),
     )
-    per_host = gapped.groupBy("host").agg(
-        F.count(F.lit(1)).cast("long").alias("n_fetches"),
-        F.count("gap_us").cast("long").alias("n_gaps"),
-        F.min("gap_us").alias("_min_gap_us"),
-    )
-    with_delay = per_host.join(
-        broadcast(delays.select(F.col(host_col).alias("host"), delay_ms_col)), "host"
-    )
-    viol = (
-        fetches.select(
-            F.col(host_col).alias("host"),
-            (F.col(ts_us_col) - F.lag(ts_us_col).over(w)).cast("long").alias("gap_us"),
-        )
-        .join(
+    # One pass over the gapped log: join the broadcast delay dimension BELOW
+    # the groupBy so the violation count folds into the same aggregation as
+    # the per-host rollup — the host-partitioned window sort runs once, not
+    # twice.
+    per_host = (
+        gapped.join(
             broadcast(delays.select(F.col(host_col).alias("host"), delay_ms_col)),
             "host",
         )
-        .filter(
-            F.col("gap_us").isNotNull()
-            & (F.col("gap_us") < F.col(delay_ms_col) * 1000)
+        .groupBy("host", delay_ms_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            F.min("gap_us").alias("_min_gap_us"),
+            F.sum(
+                F.when(
+                    F.col("gap_us").isNotNull()
+                    & (F.col("gap_us") < F.col(delay_ms_col) * 1000),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violations"),
         )
-        .groupBy("host")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
     )
-    return (
-        with_delay.join(viol, "host", "left")
-        .select(
-            "host",
-            "n_fetches",
-            "n_gaps",
-            F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
-            F.expr("_min_gap_us div 1000").cast("long").alias("min_gap_ms"),
-            (F.coalesce("n_violations", F.lit(0)) == 0).alias("ok"),
-        )
+    return per_host.select(
+        "host",
+        "n_fetches",
+        "n_gaps",
+        F.col("n_violations"),
+        F.expr("_min_gap_us div 1000").cast("long").alias("min_gap_ms"),
+        (F.col("n_violations") == 0).alias("ok"),
     )

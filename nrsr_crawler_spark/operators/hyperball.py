@@ -94,7 +94,6 @@ def hyperball_nf(edges: DataFrame, iterations: int = 3, p: int = 6) -> DataFrame
         _hll_rho(key).cast("int").alias("rho_max"),
     ).localCheckpoint(eager=True)
 
-    spark = edges.sparkSession
     rounds = [
         _per_node_estimate_sum(state, p).select(
             F.lit(0).cast("int").alias("t"), "nf_est", "n_nodes"

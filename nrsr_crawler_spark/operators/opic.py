@@ -66,6 +66,17 @@ def opic_fixed(
         .persist()
     )
     n = nodes.count()  # bounded driver scalar (one long), not a row collect
+    if n == 0:
+        # Empty edge set: return an empty (node, cash, hist) frame instead of
+        # ZeroDivisionError at SCALE // n — same contract as the other graph
+        # kernels on empty input.
+        for cached in (e, out_deg, nodes):
+            cached.unpersist()
+        return nodes.select(
+            F.col("node").cast("long"),
+            F.lit(0).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("hist"),
+        )
     if broadcast_cash is None:
         broadcast_cash = n <= 2_000_000  # same budget rationale as pagerank_fixed
     bc = broadcast if broadcast_cash else (lambda df: df)

@@ -30,7 +30,8 @@ def domain_quota_topk(
 
     Scale shape: one shuffle on the domain key; the rank-≤-k filter is
     pushed into the shuffle as WindowGroupLimit (plan-gated in
-    tests/test_plan_quality_r4b.py), so each reducer keeps a k-row heap
+    tests/test_r4b_wave.py::test_domain_quota_plan_uses_window_group_limit),
+    so each reducer keeps a k-row heap
     per domain instead of materializing the full partition — skew from a
     mega-domain costs memory O(k), not O(domain)."""
     w = Window.partitionBy(domain_col).orderBy(*order_by)

@@ -63,6 +63,15 @@ def test_opic_broadcast_and_shuffle_regimes_agree(spark):
     assert a == b
 
 
+def test_opic_empty_edges_returns_empty(spark):
+    # n == 0 must yield an empty (node, cash, hist) frame, not
+    # ZeroDivisionError at SCALE // n — same contract as the other kernels.
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = opic_fixed(empty)
+    assert out.columns == ["node", "cash", "hist"]
+    assert out.count() == 0
+
+
 # -- degree stats -------------------------------------------------------------
 
 

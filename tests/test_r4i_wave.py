@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nrsr_crawler_spark.operators.bloom_sim import bloom_calibration
@@ -26,12 +27,24 @@ def test_bloom_calibration_saturated_filter_fps_everything(spark):
 
 
 def test_bloom_calibration_huge_filter_no_fps(spark):
-    # m huge, one inserted URL: probes essentially cannot collide on all 4
+    # m at the 4-hex-slice ceiling, one inserted URL: probes essentially
+    # cannot collide on all 4 positions
     ins = spark.createDataFrame([("only",)], "url string")
     probes = spark.createDataFrame([(f"p{i}",) for i in range(20)], "url string")
-    r = bloom_calibration(ins, probes, m=1 << 30, k=4).collect()[0]
+    r = bloom_calibration(ins, probes, m=65536, k=4).collect()[0]
     assert r["n_fp"] == 0 and r["fp_bps"] == 0
     assert 1 <= r["n_bits_set"] <= 4
+
+
+def test_bloom_calibration_rejects_mis_sized_filter(spark):
+    # m > 65536 would silently bias every position into [0, 65536); k > 8
+    # would run past the 32-char md5 — both must fail loudly.
+    ins = spark.createDataFrame([("a",)], "url string")
+    probes = spark.createDataFrame([("b",)], "url string")
+    with pytest.raises(ValueError):
+        bloom_calibration(ins, probes, m=1 << 30, k=4)
+    with pytest.raises(ValueError):
+        bloom_calibration(ins, probes, m=65536, k=9)
 
 
 def test_bloom_calibration_broadcasts_bits(spark):
