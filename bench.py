@@ -52,6 +52,12 @@ HEADLINE = [
     "images_tile_neardup",  # tile-hash pair join on (tr, tc, hash) buckets
     "domain_budget_pop",  # eTLD+1-keyed two-level politeness pop
     "text_bpe_pairs",  # BPE pair counting: char-pair explode + one aggregate
+    # round-5 promotions (VERDICT r4 next #5): the slowest registry queries,
+    # budgeted so a plan regression in the iterative/explode kernels is
+    # caught by the bench gate, not just the plan audit
+    "link_kcore",  # iterative k-core peeling, semi-join fixpoint
+    "text_pmi_collocations",  # corpus bigram explode + broadcast vocab joins
+    "redirect_resolve",  # pointer-doubling redirect chains, 3 self-join rounds
 ]
 
 # Per-query regression budgets (VERDICT r3 next #5): the cleanest observed
@@ -94,6 +100,11 @@ QUERY_BUDGETS_SEC = {
     "images_tile_neardup": 0.41,
     "domain_budget_pop": 0.38,
     "text_bpe_pairs": 0.47,
+    # r5 promotions — pinned from the r4 sf0.1 plan/scale audit readings
+    # (BASELINE.md, clean-window medians); refresh only downward
+    "link_kcore": 11.9,
+    "text_pmi_collocations": 11.4,
+    "redirect_resolve": 4.3,
 }
 
 
@@ -194,6 +205,95 @@ def frontier_throughput_detail(
     return n_candidates / med, n_candidates / best, times, n_candidates
 
 
+def frontier_throughput_multihost_detail(
+    spark, sf_dir: str, repeat: int = 5, mult: int | None = None, n_hosts: int = 1000
+) -> tuple[float, float, list[float], int]:
+    """North-metric variant under real host diversity (VERDICT r4 next #4).
+
+    Same schedule pass as :func:`frontier_throughput_detail` — slim dedup
+    exchange → bloom-pruned seen anti-join → two-level politeness pop →
+    map-side canon rejoin — but the frontier spans ``n_hosts`` hosts with a
+    Zipf(1) popularity skew (host k gets ~1/k of the URL mass: the head
+    host holds ~14% of a 1000-host frontier, the closest sandbox proxy for
+    the 10^10-URL skew story) and each host gets its own Crawl-delay-derived
+    pop budget (a pure function of the host, as robots.crawl_delay_budgets
+    produces).  Zipf via inverse-CDF: host_id = floor(n_hosts^u) for
+    u = hash-uniform(0,1) ⇒ density ∝ 1/k over [1, n_hosts].
+    """
+    from nrsr_crawler_spark.operators import frontier, politeness, seen as seen_ops
+    from nrsr_crawler_spark.sources.tpch import load
+
+    if mult is None:
+        mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "16"))
+    li = load(spark, sf_dir, "lineitem")
+    u01 = (
+        F.pmod(F.xxhash64((F.col("l_orderkey") * mult + F.col("i"))), F.lit(1_000_000))
+        / 1_000_000.0
+    )
+    host_id = F.floor(F.pow(F.lit(float(n_hosts)), u01)).cast("long")
+    raw = li.select(
+        F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("i"),
+        "l_orderkey",
+        "l_suppkey",
+        "l_linenumber",
+    ).select(
+        F.concat(
+            F.lit("HTTPS://h"),
+            host_id,
+            F.lit(".example.sk/web/Default.aspx?sid=zakony&ID="),
+            (F.col("l_orderkey") * mult + F.col("i")) % 1000000,
+            F.lit("&CisObdobia="),
+            F.col("l_suppkey") % 8,
+        ).alias("url"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("seq"),
+        F.lit(0).alias("priority"),
+    )
+    n_candidates = raw.count()
+    seen_u01 = F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(1_000_000)) / 1_000_000.0
+    seen = load(spark, sf_dir, "orders").select(
+        F.xxhash64(
+            F.concat(
+                F.lit("https://h"),
+                F.floor(F.pow(F.lit(float(n_hosts)), seen_u01)).cast("long"),
+                F.lit(".example.sk/web/default.aspx?cisobdobia="),
+                F.col("o_custkey") % 8,
+                F.lit("&id="),
+                F.col("o_orderkey") % 1000000,
+                F.lit("&sid=zakony"),
+            )
+        ).alias("url_hash")
+    )
+    segments = seen_ops.build_segments(seen, n_segments=32).persist()
+    segments.count()
+    bc = seen_ops.collect_segments(spark, segments)
+    # per-host Crawl-delay budget: delay_ms = 100 + hash(host)%900 (the same
+    # dimension shape robots.crawl_delay_budgets emits), 60 s epoch ⇒
+    # budget_h = 60000 div delay_ms ∈ [60, 600] — a pure function of host,
+    # so the two-level pop stays exact
+    budget_col = F.expr("60000 div (100 + pmod(xxhash64(host), 900))")
+
+    def one_pass() -> float:
+        t0 = time.perf_counter()
+        cand = frontier.prepare_candidates_slim(raw)
+        fresh = seen_ops.dedup_with_bloom(cand, seen, segments, n_segments=32, bc=bc)
+        # host diversity supplies the level-1 parallelism (n_hosts × salts
+        # buckets), so fewer salts per host than the single-host bench
+        keys = politeness.pop_budget(
+            fresh, budget=budget_col, num_salts=4, tiebreak=[F.col("url_hash")]
+        ).select("url_hash", "seq", "rk")
+        popped = frontier.rejoin_urls(keys, raw)
+        popped.select(F.count(F.lit(1))).collect()
+        return time.perf_counter() - t0
+
+    one_pass()
+    one_pass()
+    times = [one_pass() for _ in range(repeat)]
+    segments.unpersist()
+    med = sorted(times)[len(times) // 2]
+    best = min(times)
+    return n_candidates / med, n_candidates / best, times, n_candidates
+
+
 def crawl_throughput(spark) -> tuple[float, int, float]:
     """End-to-end crawl-engine rate: drain a deterministic wide synthetic
     site (seed → period lists → pagination → details/members) to fixpoint
@@ -242,6 +342,9 @@ def main() -> None:
         timings[name] = round(sorted(runs)[1], 3)
 
     ups_med, ups_best, pass_times, n_urls = frontier_throughput_detail(spark, sf_dir)
+    mh_med, mh_best, mh_times, mh_urls = frontier_throughput_multihost_detail(
+        spark, sf_dir
+    )
     cps, n_pages, crawl_wall = crawl_throughput(spark)
     # adjacent hardware-ceiling readings make this artifact self-normalizing:
     # compare rounds via urls/s ÷ control, not raw urls/s (the VM's capacity
@@ -275,6 +378,12 @@ def main() -> None:
         "urls_scheduled_per_sec_best": round(ups_best),
         "frontier_pass_times_sec": [round(t, 3) for t in pass_times],
         "frontier_urls": n_urls,
+        # multi-host variant: 1000 Zipf(1)-skewed hosts, per-host
+        # Crawl-delay budgets (VERDICT r4 next #4)
+        "urls_scheduled_per_sec_multihost": round(mh_med),
+        "urls_scheduled_per_sec_multihost_best": round(mh_best),
+        "frontier_multihost_pass_times_sec": [round(t, 3) for t in mh_times],
+        "frontier_multihost_urls": mh_urls,
         "crawl_pages_per_sec": round(cps, 1),
         "crawl_pages": n_pages,
         "crawl_wall_sec": round(crawl_wall, 1),
