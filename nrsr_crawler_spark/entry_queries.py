@@ -455,3 +455,6 @@ import nrsr_crawler_spark.entry_queries_r4k  # noqa: E402,F401
 
 # round-4 wave L (redirect resolution / politeness audit / dedup savings)
 import nrsr_crawler_spark.entry_queries_r4l  # noqa: E402,F401
+
+# round-5 wave (training-data funnel token ledger)
+import nrsr_crawler_spark.entry_queries_r5  # noqa: E402,F401

@@ -391,3 +391,14 @@ def test_bpe_pairs_take_ordered_no_python(spark):
     plan = _plan(QUERIES["text_bpe_pairs"](spark, SF))
     assert "TakeOrderedAndProject" in plan  # top-50, never a global sort
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_token_ledger_no_cartesian_no_python(spark):
+    # the 5-stage funnel composes only audited primitives; its ledger rows
+    # combine 1-row aggregates via broadcast joins — never a real cartesian,
+    # never a per-row Python fallback
+    from nrsr_crawler_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["train_token_ledger"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
