@@ -125,3 +125,184 @@ def train_token_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nrsr_crawler_spark.operators.token_ledger import token_ledger
 
     return token_ledger(load(spark, sf_dir, "documents"))
+
+
+# -- round-5 wave B: crawl-scheduling telemetry & layout operators ------------
+#
+# frontier_fairness        Jain fairness index over per-host scheduled counts
+# frontier_budget_pop      byte-budget greedy pop (rank-cap + bounded cumsum)
+# recrawl_revalidation_plan  conditional-GET strategy per recrawl candidate
+# frontier_shard_resize    rendezvous shard assignment, N -> 4N move audit
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@query(
+    "frontier_fairness",
+    """
+    WITH s AS (
+        SELECT 'h' || (l_orderkey % (1 + (l_suppkey % 50))) AS host FROM lineitem
+    ),
+    p AS (SELECT host, COUNT(*) AS x FROM s GROUP BY host)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+           CAST(SUM(x) AS BIGINT) AS n_scheduled,
+           CAST((SUM(x) * SUM(x) * 10000) // (COUNT(*) * SUM(x * x)) AS BIGINT) AS jain_bps,
+           CAST((MAX(x) * 10000) // SUM(x) AS BIGINT) AS max_share_bps,
+           CAST((MIN(x) * 10000) // SUM(x) AS BIGINT) AS min_share_bps
+    FROM p
+    """,
+)
+def frontier_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain's fairness index over a skewed synthetic epoch schedule
+    (operators/fairness.py) — the per-epoch tail-service regression signal
+    for the multi-host frontier."""
+    from nrsr_crawler_spark.operators.fairness import scheduling_fairness
+
+    li = load(spark, sf_dir, "lineitem")
+    sched = li.select(
+        F.concat(
+            F.lit("h"),
+            (F.col("l_orderkey") % (1 + (F.col("l_suppkey") % 50))).cast("string"),
+        ).alias("host")
+    )
+    return scheduling_fairness(sched)
+
+
+@query(
+    "frontier_budget_pop",
+    """
+    WITH f AS (
+        SELECT 'h' || (o_custkey % 23) AS host,
+               o_orderkey % 5 AS priority,
+               o_orderkey AS seq,
+               o_orderkey AS url_hash,
+               (o_orderkey % 9000) + 500 AS est_cost_bytes
+        FROM orders
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY priority DESC, seq DESC, url_hash) AS rk
+        FROM f
+    ),
+    c AS (SELECT * FROM r WHERE rk <= 100),
+    m AS (
+        SELECT *, SUM(est_cost_bytes) OVER (
+                   PARTITION BY host
+                   ORDER BY priority DESC, seq DESC, url_hash
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM c
+    )
+    SELECT host, CAST(priority AS BIGINT) AS priority, seq, url_hash,
+           CAST(est_cost_bytes AS BIGINT) AS est_cost_bytes,
+           CAST(rk AS BIGINT) AS rk,
+           CAST(cum AS BIGINT) AS cum_cost_bytes,
+           cum <= 50000 AS taken
+    FROM m
+    """,
+)
+def frontier_budget_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget greedy pop (operators/cost_budget.py): top-100 rank cap
+    per host, then first-fit under a 50 kB per-host byte budget."""
+    from nrsr_crawler_spark.operators.cost_budget import budget_value_pop
+
+    o = load(spark, sf_dir, "orders")
+    fr = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 23).cast("string")).alias("host"),
+        (F.col("o_orderkey") % 5).cast("long").alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderkey").alias("url_hash"),
+        ((F.col("o_orderkey") % 9000) + 500).cast("long").alias("est_cost_bytes"),
+    )
+    out = budget_value_pop(fr, byte_budget=50000, max_candidates=100)
+    return out.select(
+        "host", "priority", "seq", "url_hash", "est_cost_bytes",
+        F.col("rk").cast("long").alias("rk"), "cum_cost_bytes", "taken",
+    )
+
+
+@query(
+    "recrawl_revalidation_plan",
+    """
+    WITH c AS (
+        SELECT o_orderkey AS url_hash,
+               o_orderkey % 6 AS age_epochs,
+               1 + (o_custkey % 7) AS fetch_count,
+               o_orderkey % 3 AS change_count,
+               (o_orderkey % 2) = 0 AS has_validator,
+               1000 + (o_orderkey % 50000) AS size_bytes
+        FROM orders
+    ),
+    p AS (
+        SELECT *, CAST((change_count * 10000) // fetch_count AS BIGINT) AS change_bps
+        FROM c
+    )
+    SELECT url_hash, CAST(age_epochs AS BIGINT) AS age_epochs,
+           CAST(fetch_count AS BIGINT) AS fetch_count,
+           CAST(change_count AS BIGINT) AS change_count,
+           has_validator, CAST(size_bytes AS BIGINT) AS size_bytes,
+           change_bps,
+           CASE WHEN age_epochs < 2 THEN 'skip'
+                WHEN has_validator AND change_bps < 2000 THEN 'revalidate'
+                ELSE 'refetch' END AS action,
+           CAST(CASE WHEN age_epochs >= 2 AND has_validator AND change_bps < 2000
+                     THEN GREATEST(size_bytes - 600, 0) ELSE 0 END AS BIGINT)
+               AS est_saved_bytes
+    FROM p
+    """,
+)
+def recrawl_revalidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-GET strategy per recrawl candidate
+    (operators/revalidate.py): skip / revalidate / refetch plus the
+    projected bandwidth saving — pure codegen scan, zero shuffle."""
+    from nrsr_crawler_spark.operators.revalidate import revalidation_plan
+
+    o = load(spark, sf_dir, "orders")
+    cand = o.select(
+        F.col("o_orderkey").alias("url_hash"),
+        (F.col("o_orderkey") % 6).cast("long").alias("age_epochs"),
+        (1 + (F.col("o_custkey") % 7)).cast("long").alias("fetch_count"),
+        (F.col("o_orderkey") % 3).cast("long").alias("change_count"),
+        ((F.col("o_orderkey") % 2) == 0).alias("has_validator"),
+        (1000 + (F.col("o_orderkey") % 50000)).cast("long").alias("size_bytes"),
+    )
+    return revalidation_plan(cand)
+
+
+@query(
+    "frontier_shard_resize",
+    """
+    WITH hosts AS (
+        SELECT DISTINCT 'host' || (c_custkey % 500) AS host FROM customer
+    ),
+    e1 AS (
+        SELECT host, s, substring(md5(host || ':' || CAST(s AS VARCHAR)), 1, 12) AS w
+        FROM hosts, UNNEST(range(8)) AS u(s)
+    ),
+    a1 AS (SELECT host, CAST(arg_max(s, w) AS BIGINT) AS shard_small FROM e1 GROUP BY host),
+    e2 AS (
+        SELECT host, s, substring(md5(host || ':' || CAST(s AS VARCHAR)), 1, 12) AS w
+        FROM hosts, UNNEST(range(32)) AS u(s)
+    ),
+    a2 AS (SELECT host, CAST(arg_max(s, w) AS BIGINT) AS shard_large FROM e2 GROUP BY host)
+    SELECT host, shard_small, shard_large, shard_small <> shard_large AS moved
+    FROM a1 JOIN a2 USING (host)
+    """,
+)
+def frontier_shard_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous shard assignment of per-host frontier state at 8 and 32
+    shards with the move audit (operators/shard_assign.py) — hosts only
+    ever move INTO new shards on a 4x resize, the layout property that
+    makes the N -> 4N scale-up cheap."""
+    from nrsr_crawler_spark.operators.shard_assign import resize_plan
+
+    hosts = (
+        load(spark, sf_dir, "customer")
+        .select(
+            F.concat(F.lit("host"), (F.col("c_custkey") % 500).cast("string")).alias(
+                "host"
+            )
+        )
+        .distinct()
+    )
+    return resize_plan(hosts, n_shards=8, growth=4)
