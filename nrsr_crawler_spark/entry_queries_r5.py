@@ -306,3 +306,219 @@ def frontier_shard_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return resize_plan(hosts, n_shards=8, growth=4)
+
+
+# -- round-5 wave C: image-payload curation + recrawl telemetry ---------------
+#
+# images_caption_conflicts  canonical-caption election per visual dup group
+# images_crop_plan          deterministic random-resized-crop schedule
+# frontier_age_histogram    staleness buckets + cumulative share (TTL input)
+# robots_coverage_audit     per-host blocked share of the pending frontier
+
+
+def _hex4(key_sql: str, i: int) -> str:
+    """DuckDB mirror of crop_plan._hex_slice: i-th md5 4-hex-char draw."""
+    return f"CAST(('0x' || substr(md5({key_sql}), {1 + 4 * i}, 4)) AS BIGINT)"
+
+
+@query(
+    "images_caption_conflicts",
+    """
+    WITH imgs AS (
+        SELECT printf('img%010d', c_custkey) AS image_id,
+               c_custkey % 37 AS phash,
+               CASE WHEN c_custkey % 2 = 0 THEN 'even ' || (c_custkey % 5)
+                    ELSE 'odd ' || (c_custkey % 5) END AS caption
+        FROM customer WHERE c_custkey <= 300
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY phash
+                   ORDER BY md5(caption), caption, image_id) AS rn
+        FROM imgs
+    ),
+    agg AS (
+        SELECT phash, COUNT(*) AS n_images, COUNT(DISTINCT caption) AS n_captions
+        FROM imgs GROUP BY phash
+    )
+    SELECT CAST(a.phash AS BIGINT) AS phash,
+           CAST(n_images AS BIGINT) AS n_images,
+           CAST(n_captions AS BIGINT) AS n_captions,
+           r.caption AS canonical_caption,
+           r.image_id AS keeper_id,
+           n_captions > 1 AS conflict
+    FROM agg a JOIN r ON r.phash = a.phash AND r.rn = 1
+    """,
+)
+def images_caption_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-caption election over visual near-dup groups
+    (operators/caption_conflicts.py): md5-min caption wins, one map-side
+    combinable groupBy, conflicts surfaced as telemetry."""
+    from nrsr_crawler_spark.operators.caption_conflicts import caption_conflicts
+
+    imgs = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select(
+            F.format_string("img%010d", F.col("c_custkey")).alias("image_id"),
+            (F.col("c_custkey") % 37).cast("long").alias("phash"),
+            F.when(
+                F.col("c_custkey") % 2 == 0,
+                F.concat(F.lit("even "), (F.col("c_custkey") % 5).cast("string")),
+            )
+            .otherwise(
+                F.concat(F.lit("odd "), (F.col("c_custkey") % 5).cast("string"))
+            )
+            .alias("caption"),
+        )
+    )
+    return caption_conflicts(imgs)
+
+
+_CROP_KEY = "image_id || ':' || CAST(epoch AS VARCHAR)"
+
+@query(
+    "images_crop_plan",
+    f"""
+    WITH imgs AS (
+        SELECT printf('img%010d', c_custkey) AS image_id,
+               64 + (c_custkey % 9) * 16 AS w,
+               64 + (c_custkey % 7) * 16 AS h
+        FROM customer WHERE c_custkey <= 250
+    ),
+    ep AS (
+        SELECT image_id, w, h, e AS epoch
+        FROM imgs, UNNEST(range(4)) AS u(e)
+    ),
+    d AS (
+        SELECT image_id, epoch, w, h,
+               (w * (70 + {_hex4(_CROP_KEY, 0)} % 31)) // 100 AS crop_w,
+               (h * (70 + {_hex4(_CROP_KEY, 1)} % 31)) // 100 AS crop_h,
+               {_hex4(_CROP_KEY, 2)} AS u2,
+               {_hex4(_CROP_KEY, 3)} AS u3
+        FROM ep
+    )
+    SELECT image_id, CAST(epoch AS BIGINT) AS epoch,
+           CAST(crop_w AS BIGINT) AS crop_w, CAST(crop_h AS BIGINT) AS crop_h,
+           CAST(u2 % (w - crop_w + 1) AS BIGINT) AS x0,
+           CAST(u3 % (h - crop_h + 1) AS BIGINT) AS y0
+    FROM d
+    """,
+)
+def images_crop_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-resized-crop schedule (operators/crop_plan.py):
+    4 training epochs, crop fractions in [70%, 100%] per axis from
+    md5(image_id:epoch) draws — zero shuffle, fully replayable."""
+    from nrsr_crawler_spark.operators.crop_plan import crop_plan
+
+    imgs = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 250)
+        .select(
+            F.format_string("img%010d", F.col("c_custkey")).alias("image_id"),
+            (64 + (F.col("c_custkey") % 9) * 16).cast("long").alias("w"),
+            (64 + (F.col("c_custkey") % 7) * 16).cast("long").alias("h"),
+        )
+    )
+    return crop_plan(imgs, n_epochs=4)
+
+
+@query(
+    "frontier_age_histogram",
+    """
+    WITH f AS (SELECT o_orderkey % 47 AS age FROM orders),
+    hist AS (SELECT age // 10 AS bucket, COUNT(*) AS n_urls FROM f GROUP BY 1),
+    t AS (SELECT SUM(n_urls) AS total FROM hist),
+    c AS (
+        SELECT bucket, n_urls,
+               SUM(n_urls) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * 10 AS BIGINT) AS lo,
+           CAST(bucket * 10 + 9 AS BIGINT) AS hi,
+           CAST(n_urls AS BIGINT) AS n_urls,
+           CAST((n_urls * 10000) // total AS BIGINT) AS share_bps,
+           CAST((cum * 10000) // total AS BIGINT) AS cum_share_bps
+    FROM c, t
+    """,
+)
+def frontier_age_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness buckets over last-fetch ages (operators/staleness.py) —
+    the input distribution for choosing a recrawl TTL; windows run over
+    the bounded bucket table only."""
+    from nrsr_crawler_spark.operators.staleness import staleness_histogram
+
+    fr = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 47).cast("long").alias("age_epochs")
+    )
+    return staleness_histogram(fr, width=10)
+
+
+_AUDIT_RULES = [
+    {"host": "www.nrsr.sk", "user_agent": "*", "rule": "disallow",
+     "path_prefix": "/private/", "crawl_delay": None},
+    {"host": "www.nrsr.sk", "user_agent": "*", "rule": "allow",
+     "path_prefix": "/private/open/", "crawl_delay": None},
+    {"host": "static.nrsr.sk", "user_agent": "*", "rule": "disallow",
+     "path_prefix": "/", "crawl_delay": None},
+]
+
+
+@query(
+    "robots_coverage_audit",
+    """
+    WITH f AS (
+        SELECT CASE WHEN l_linenumber % 3 = 0 THEN 'static.nrsr.sk'
+                    ELSE 'www.nrsr.sk' END AS host,
+               CASE l_orderkey % 4
+                    WHEN 0 THEN '/private/doc' || l_orderkey
+                    WHEN 1 THEN '/private/open/doc' || l_orderkey
+                    ELSE '/web/doc' || l_orderkey END AS path
+        FROM lineitem
+    ),
+    dec AS (
+        SELECT host,
+               CASE WHEN host = 'static.nrsr.sk' THEN FALSE
+                    WHEN path LIKE '/private/open/%' THEN TRUE
+                    WHEN path LIKE '/private/%' THEN FALSE
+                    ELSE TRUE END AS ok
+        FROM f
+    ),
+    per AS (
+        SELECT host, COUNT(*) AS n_urls,
+               SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_allowed
+        FROM dec GROUP BY host
+    )
+    SELECT host, CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(n_allowed AS BIGINT) AS n_allowed,
+           CAST(n_urls - n_allowed AS BIGINT) AS n_blocked,
+           CAST(((n_urls - n_allowed) * 10000) // n_urls AS BIGINT) AS blocked_bps
+    FROM per
+    """,
+)
+def robots_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host blocked share of the pending frontier under the live
+    ruleset (operators/compliance.py robots_coverage) — longest-prefix
+    allow-over-disallow semantics via robots.allowed_expr, folded into one
+    partial-agg groupBy."""
+    from nrsr_crawler_spark.operators.compliance import robots_coverage
+
+    li = load(spark, sf_dir, "lineitem")
+    cand = li.select(
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit("static.nrsr.sk"))
+        .otherwise(F.lit("www.nrsr.sk"))
+        .alias("host"),
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("l_linenumber") % 3 == 0, F.lit("static.nrsr.sk"))
+            .otherwise(F.lit("www.nrsr.sk")),
+            F.when(F.col("l_orderkey") % 4 == 0,
+                   F.concat(F.lit("/private/doc"), F.col("l_orderkey").cast("string")))
+            .when(F.col("l_orderkey") % 4 == 1,
+                  F.concat(F.lit("/private/open/doc"), F.col("l_orderkey").cast("string")))
+            .otherwise(
+                F.concat(F.lit("/web/doc"), F.col("l_orderkey").cast("string"))),
+        ).alias("url"),
+    )
+    return robots_coverage(cand, _AUDIT_RULES)

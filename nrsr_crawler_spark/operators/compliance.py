@@ -69,3 +69,37 @@ def politeness_audit(
         F.expr("_min_gap_us div 1000").cast("long").alias("min_gap_ms"),
         (F.col("n_violations") == 0).alias("ok"),
     )
+
+
+def robots_coverage(
+    candidates: DataFrame,
+    rules: list[dict],
+    url_col: str = "url",
+    host_col: str = "host",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Per-host robots-coverage audit: how much of the pending frontier the
+    current ruleset blocks — (host, n_urls, n_allowed, n_blocked,
+    blocked_bps).  A ruleset change (or a trap-path explosion) shows as a
+    blocked-share jump before any fetch is wasted.
+
+    Scale shape: the allow decision is robots.allowed_expr — a pure codegen
+    CASE chain from the driver-side ruleset (rules are O(hosts·prefixes),
+    config-sized) — folded into ONE partial-aggregated groupBy on host; no
+    join, no UDF, URLs never shuffle (only per-host counts do)."""
+    from nrsr_crawler_spark.operators.robots import allowed_expr
+
+    ok = allowed_expr(rules, F.col(url_col), F.col(host_col), user_agent)
+    per = candidates.groupBy(host_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum(ok.cast("long")).cast("long").alias("n_allowed"),
+    )
+    return per.select(
+        F.col(host_col).alias("host"),
+        "n_urls",
+        "n_allowed",
+        (F.col("n_urls") - F.col("n_allowed")).cast("long").alias("n_blocked"),
+        F.expr("((n_urls - n_allowed) * 10000) div n_urls")
+        .cast("long")
+        .alias("blocked_bps"),
+    )
