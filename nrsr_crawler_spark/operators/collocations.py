@@ -34,24 +34,36 @@ def pmi_collocations(
 ) -> DataFrame:
     """Return the top-``k`` (w1, w2, c_ab, ratio_q, pmi_bits) collocations
     with c_ab ≥ min_count and ratio_q ≥ 2 (i.e. PMI ≥ 1 bit)."""
-    bg = F.when(
-        F.col("n") >= 2,
-        F.expr("transform(sequence(0, n - 2), i -> concat(tk[i], ' ', tk[i + 1]))"),
-    ).otherwise(F.expr("array()").cast("array<string>"))
+    # ONE corpus pass for both gram orders (r5 replan: the corpus was
+    # previously tokenized + exploded twice — once per order): unigrams and
+    # bigrams are tagged structs in a single concatenated array, so one
+    # explode + one partial-aggregated groupBy produces the whole count
+    # table.  The (tag, gram) table is vocab-sized — persisted so the two
+    # downstream branches (uni / big) don't re-scan the corpus.
     base = docs.select(
         tokens(F.col(text_col)).alias("tk"),
         token_count(F.col(text_col)).alias("n"),
-    ).withColumn("bg", bg)
-    uni = (
-        base.select(F.explode("tk").alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
     )
+    uni_arr = F.expr(
+        "transform(filter(tk, w -> w != ''), w -> struct(0 AS t, w AS g))"
+    )
+    bg_arr = F.when(
+        F.col("n") >= 2,
+        F.expr(
+            "transform(sequence(0, n - 2),"
+            " i -> struct(1 AS t, concat(tk[i], ' ', tk[i + 1]) AS g))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<t:int,g:string>>"))
+    counts = (
+        base.select(F.explode(F.concat(uni_arr, bg_arr)).alias("x"))
+        .groupBy(F.col("x.t").alias("t"), F.col("x.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    uni = counts.filter(F.col("t") == 0).select(F.col("g").alias("w"), "c")
     big = (
-        base.select(F.explode("bg").alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
+        counts.filter(F.col("t") == 1)
+        .select(F.col("g").alias("b"), F.col("c").alias("c_ab"))
         .filter(F.col("c_ab") >= min_count)
         .withColumn("w1", F.split("b", " ")[0])
         .withColumn("w2", F.split("b", " ")[1])

@@ -24,24 +24,36 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 
-def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int, broadcast_nodes: bool | None = None
+) -> DataFrame:
     """Peel ``rounds`` times and return (node, deg) for the survivors with
     their degree in the surviving subgraph.
 
     Scale shape: per round one groupBy(src) degree count (partial-agg
-    combined) and two left-semi joins restricting edges to survivors; the
-    survivor set is broadcast when small.  ``localCheckpoint`` truncates
-    the per-round lineage so the plan stays linear in ``rounds``.
+    combined) and two left-semi joins restricting edges to survivors.
+    Two regimes for the survivor joins (same split as linkrank/opic):
+    the survivor set is O(N) — when N fits the broadcast budget (≤ 2·10^6,
+    decided once from the initial src count unless forced) BOTH semi-joins
+    broadcast and the O(E) edge set never shuffles in the loop, only the
+    degree partials do; above the budget the joins shuffle on src/dst.
+    ``localCheckpoint`` truncates the per-round lineage so the plan stays
+    linear in ``rounds``.
     """
     e = edges.select("src", "dst")
+    if broadcast_nodes is None:
+        # one-time bounded scalar, same budget rationale as pagerank_fixed
+        broadcast_nodes = e.select("src").distinct().count() <= 2_000_000
+    bk = broadcast if broadcast_nodes else (lambda df: df)
     for i in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
         e = (
-            e.join(keep, "src", "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            e.join(bk(keep), "src", "left_semi")
+            .join(bk(keep.withColumnRenamed("src", "dst")), "dst", "left_semi")
             .select("src", "dst")
         )
         # materialize + truncate lineage: each round references e twice, so
