@@ -99,8 +99,9 @@ def test_warc_shard_totals_are_byte_exact(spark):
 def test_bloom_fp_rate_monotone_in_filter_size(spark):
     ins = spark.createDataFrame([(f"u{i}",) for i in range(400)], "url string")
     probes = spark.createDataFrame([(f"p{i}",) for i in range(300)], "url string")
+    # 65536 is the largest legal m (4-hex-char slice range; larger raises)
     fp_small = bloom_calibration(ins, probes, m=256, k=4).collect()[0]["n_fp"]
-    fp_big = bloom_calibration(ins, probes, m=1 << 20, k=4).collect()[0]["n_fp"]
+    fp_big = bloom_calibration(ins, probes, m=65536, k=4).collect()[0]["n_fp"]
     assert fp_small >= fp_big
     assert fp_small == 300  # 256 bits for 400 keys is saturated
 
