@@ -100,10 +100,12 @@ QUERY_BUDGETS_SEC = {
     "images_tile_neardup": 0.41,
     "domain_budget_pop": 0.38,
     "text_bpe_pairs": 0.47,
-    # r5 promotions — pinned from the r4 sf0.1 plan/scale audit readings
-    # (BASELINE.md, clean-window medians); refresh only downward
-    "link_kcore": 11.9,
-    "text_pmi_collocations": 11.4,
+    # r5 promotions — link_kcore / text_pmi_collocations re-pinned after the
+    # r5 replans (broadcast peel regime; single-pass gram counting) from a
+    # median-of-3 at sf0.1; redirect_resolve keeps its r4 clean-window pin
+    # (the r5 measurement window's CPU control ran ~40% low)
+    "link_kcore": 7.6,
+    "text_pmi_collocations": 1.45,
     "redirect_resolve": 4.3,
 }
 
