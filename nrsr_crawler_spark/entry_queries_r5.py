@@ -522,3 +522,78 @@ def robots_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return robots_coverage(cand, _AUDIT_RULES)
+
+
+# -- round-5 wave D: frontier physical-layout planning ------------------------
+#
+# frontier_salt_plan       adaptive per-host salt counts for the pop windows
+# seen_segment_occupancy   per-segment seen-set load vs uniform expectation
+
+
+@query(
+    "frontier_salt_plan",
+    """
+    WITH f AS (
+        SELECT 'h' || (l_orderkey % (1 + (l_suppkey % 40))) AS host FROM lineitem
+    ),
+    per AS (SELECT host, COUNT(*) AS n_pending FROM f GROUP BY host),
+    s AS (
+        SELECT host, n_pending,
+               LEAST(64, GREATEST(1, (n_pending + 999) // 1000)) AS salts
+        FROM per
+    )
+    SELECT host, CAST(n_pending AS BIGINT) AS n_pending,
+           CAST(salts AS BIGINT) AS salts,
+           CAST((n_pending + salts - 1) // salts AS BIGINT) AS rows_per_task
+    FROM s
+    """,
+)
+def frontier_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-host salt plan (operators/salt_advisor.py): hot hosts
+    split into up to 64 level-1 pop buckets of ~1000 rows each, cold hosts
+    stay single-bucket — the per-epoch task-size planner for the skewed
+    multi-host frontier."""
+    from nrsr_crawler_spark.operators.salt_advisor import salt_plan
+
+    li = load(spark, sf_dir, "lineitem")
+    pend = li.select(
+        F.concat(
+            F.lit("h"),
+            (F.col("l_orderkey") % (1 + (F.col("l_suppkey") % 40))).cast("string"),
+        ).alias("host")
+    )
+    return salt_plan(pend, target_rows_per_task=1000, max_salts=64)
+
+
+@query(
+    "seen_segment_occupancy",
+    """
+    WITH seen AS (
+        SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                   AS url_hash
+        FROM orders
+    ),
+    per AS (
+        SELECT url_hash % 16 AS segment_id, COUNT(*) AS n_keys
+        FROM seen GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_keys) AS total FROM per)
+    SELECT CAST(segment_id AS BIGINT) AS segment_id,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST((n_keys * 10000) // total AS BIGINT) AS share_bps,
+           CAST((n_keys * 16 * 10000) // total AS BIGINT) AS load_bps
+    FROM per, t
+    """,
+)
+def seen_segment_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment seen-set occupancy vs uniform expectation
+    (operators/segment_stats.py) — the bitset-sizing health check for the
+    16-segment partitioned URL-seen store."""
+    from nrsr_crawler_spark.operators.segment_stats import segment_occupancy
+
+    seen = load(spark, sf_dir, "orders").select(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("url_hash")
+    )
+    return segment_occupancy(seen, n_segments=16)

@@ -151,3 +151,41 @@ def test_resize_moves_only_into_new_shards(spark):
 def test_resize_no_cartesian_no_python(spark):
     plan = _plan(resize_plan(_hosts(spark, 20), n_shards=4, growth=4))
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+# -- wave D: salt plan + segment occupancy ------------------------------------
+
+
+def test_salt_plan_clamps_and_task_size(spark):
+    from nrsr_crawler_spark.operators.salt_advisor import salt_plan
+
+    rows = (
+        [("mega",)] * 5000 + [("mid",)] * 2500 + [("cold",)] * 3
+    )
+    out = {r["host"]: r for r in salt_plan(
+        spark.createDataFrame(rows, "host string"),
+        target_rows_per_task=1000, max_salts=4,
+    ).collect()}
+    assert out["mega"]["salts"] == 4          # ceil(5000/1000)=5 → clamped to 4
+    assert out["mega"]["rows_per_task"] == 1250
+    assert out["mid"]["salts"] == 3 and out["mid"]["rows_per_task"] == 834
+    assert out["cold"]["salts"] == 1 and out["cold"]["rows_per_task"] == 3
+
+
+def test_segment_occupancy_uniform_and_hot(spark):
+    from pyspark.sql import functions as SF
+
+    from nrsr_crawler_spark.operators.segment_stats import segment_occupancy
+
+    # 4 segments, perfectly uniform: load_bps exactly 10000 everywhere
+    uni = spark.range(0, 400).select(SF.col("id").alias("url_hash"))
+    out = segment_occupancy(uni, n_segments=4).collect()
+    assert len(out) == 4
+    assert all(r["load_bps"] == 10000 and r["n_keys"] == 100 for r in out)
+    # plant a hot segment: every key ≡ 1 (mod 4)
+    hot = spark.range(0, 100).select((SF.col("id") * 4 + 1).alias("url_hash"))
+    h = segment_occupancy(uni.unionAll(hot), n_segments=4).collect()
+    by_seg = {r["segment_id"]: r for r in h}
+    assert by_seg[1]["n_keys"] == 200
+    assert by_seg[1]["load_bps"] == (200 * 4 * 10000) // 500
+    assert by_seg[0]["load_bps"] < 10000
