@@ -597,3 +597,113 @@ def seen_segment_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("url_hash")
     )
     return segment_occupancy(seen, n_segments=16)
+
+
+# -- round-5 wave E: tail consolidation, storage tiers, cohort retention ------
+
+
+@query(
+    "frontier_task_bins",
+    """
+    WITH f AS (SELECT 'h' || (l_orderkey % 997) AS host FROM lineitem),
+    per AS (SELECT host, COUNT(*) AS n_pending FROM f GROUP BY host),
+    c AS (
+        SELECT host, n_pending,
+               SUM(n_pending) OVER (ORDER BY md5(host), host
+                                    ROWS UNBOUNDED PRECEDING) - n_pending AS cum_lo
+        FROM per
+    )
+    SELECT host, CAST(n_pending AS BIGINT) AS n_pending,
+           CAST(cum_lo AS BIGINT) AS cum_lo,
+           CAST(cum_lo // 500 AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def frontier_task_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-host tail consolidation (operators/task_bins.py): per-host
+    pending counts packed into ~500-URL scheduling bins over the
+    deterministic (md5(host), host) order via the two-level prefix sum."""
+    from nrsr_crawler_spark.operators.task_bins import host_task_bins
+
+    li = load(spark, sf_dir, "lineitem")
+    pend = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 997).cast("string")).alias("host")
+    )
+    return host_task_bins(pend, bin_size=500)
+
+
+@query(
+    "images_storage_tiers",
+    """
+    WITH o AS (
+        SELECT 'img' || o_orderkey AS object_id,
+               1000 + (o_orderkey % 100000) AS size_bytes,
+               o_orderkey % 90 AS age_epochs,
+               o_custkey % 6 AS access_count
+        FROM orders
+    ),
+    a AS (
+        SELECT *, CASE WHEN age_epochs < 7 THEN 'hot'
+                       WHEN age_epochs < 60 OR access_count >= 4 THEN 'warm'
+                       ELSE 'cold' END AS tier
+        FROM o
+    ),
+    per AS (
+        SELECT tier, COUNT(*) AS n_objects, SUM(size_bytes) AS total_bytes
+        FROM a GROUP BY tier
+    ),
+    t AS (SELECT SUM(total_bytes) AS tt FROM per)
+    SELECT tier, CAST(n_objects AS BIGINT) AS n_objects,
+           CAST(total_bytes AS BIGINT) AS total_bytes,
+           CAST((total_bytes * 10000) // tt AS BIGINT) AS share_bps
+    FROM per, t
+    """,
+)
+def images_storage_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/warm/cold lake-tier plan for the image corpus
+    (operators/storage_tiers.py): codegen CASE assignment + one
+    partial-agg rollup with byte shares in exact bps."""
+    from nrsr_crawler_spark.operators.storage_tiers import tier_assign, tier_totals
+
+    o = load(spark, sf_dir, "orders")
+    objs = o.select(
+        F.concat(F.lit("img"), F.col("o_orderkey").cast("string")).alias("object_id"),
+        (1000 + (F.col("o_orderkey") % 100000)).cast("long").alias("size_bytes"),
+        (F.col("o_orderkey") % 90).cast("long").alias("age_epochs"),
+        (F.col("o_custkey") % 6).cast("long").alias("access_count"),
+    )
+    return tier_totals(tier_assign(objs))
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events
+    ),
+    first AS (SELECT user_id, MIN(p) AS cohort FROM e GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, p FROM e),
+    per AS (
+        SELECT cohort, p - cohort AS "offset", COUNT(DISTINCT a.user_id) AS n_active
+        FROM act a JOIN first USING (user_id)
+        GROUP BY cohort, p - cohort
+    ),
+    sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort)
+    SELECT CAST(cohort AS BIGINT) AS cohort, CAST("offset" AS BIGINT) AS "offset",
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(cohort_size AS BIGINT) AS cohort_size,
+           CAST((n_active * 10000) // cohort_size AS BIGINT) AS retention_bps
+    FROM per JOIN sizes USING (cohort)
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the event stream
+    (operators/retention.py) — the source-decay telemetry shape (hosts ×
+    fetch epochs) expressed on the events table."""
+    from nrsr_crawler_spark.operators.retention import retention_cohorts
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 604800000000").alias("week"),
+    )
+    return retention_cohorts(ev, "user_id", "week")

@@ -115,3 +115,58 @@ def test_robots_coverage_no_join_no_python(spark):
     cand = spark.createDataFrame([("h", "https://h/a")], "host string, url string")
     plan = _plan(robots_coverage(cand, rules))
     assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+# -- wave E: task bins, storage tiers, retention ------------------------------
+
+
+def test_host_task_bins_pack_small_hosts(spark):
+    from nrsr_crawler_spark.operators.task_bins import host_task_bins
+
+    rows = [(f"h{i % 20}",) for i in range(200)]  # 20 hosts × 10 pending
+    out = host_task_bins(spark.createDataFrame(rows, "host string"), bin_size=50)
+    got = out.collect()
+    assert len(got) == 20
+    # bins hold ~50 pending across ~5 hosts each; ids contiguous from 0
+    bins = sorted({r["bin_id"] for r in got})
+    assert bins == list(range(len(bins))) and len(bins) == 4
+    # cum_lo is a permutation-consistent prefix: max(cum_lo)+10 == total
+    assert max(r["cum_lo"] for r in got) + 10 == 200
+    # stability: same input → same assignment
+    again = {(r["host"], r["bin_id"]) for r in host_task_bins(
+        spark.createDataFrame(rows, "host string"), bin_size=50).collect()}
+    assert again == {(r["host"], r["bin_id"]) for r in got}
+
+
+def test_storage_tiers_assignment_and_rollup(spark):
+    from nrsr_crawler_spark.operators.storage_tiers import tier_assign, tier_totals
+
+    objs = spark.createDataFrame(
+        [("a", 100, 3, 0),    # hot (fresh)
+         ("b", 200, 30, 0),   # warm (mid age)
+         ("c", 300, 80, 5),   # warm (old but hot-accessed)
+         ("d", 400, 80, 0)],  # cold
+        "object_id string, size_bytes long, age_epochs long, access_count long",
+    )
+    tiers = {r["object_id"]: r["tier"] for r in tier_assign(objs).collect()}
+    assert tiers == {"a": "hot", "b": "warm", "c": "warm", "d": "cold"}
+    tot = {r["tier"]: r for r in tier_totals(tier_assign(objs)).collect()}
+    assert tot["warm"]["total_bytes"] == 500 and tot["warm"]["n_objects"] == 2
+    assert tot["cold"]["share_bps"] == 4000  # 400 of 1000 bytes
+
+
+def test_retention_cohorts_matrix(spark):
+    from nrsr_crawler_spark.operators.retention import retention_cohorts
+
+    # cohort 1: users u1,u2 (u1 active weeks 1,2,3; u2 only week 1)
+    # cohort 2: user u3 (active weeks 2 and 4)
+    rows = [("u1", 1), ("u1", 2), ("u1", 3), ("u2", 1), ("u3", 2), ("u3", 4),
+            ("u1", 2)]  # duplicate activity must not double-count
+    ev = spark.createDataFrame(rows, "user_id string, week long")
+    out = {(r["cohort"], r["offset"]): r
+           for r in retention_cohorts(ev, "user_id", "week").collect()}
+    assert out[(1, 0)]["n_active"] == 2 and out[(1, 0)]["retention_bps"] == 10000
+    assert out[(1, 1)]["n_active"] == 1 and out[(1, 1)]["retention_bps"] == 5000
+    assert out[(1, 2)]["n_active"] == 1
+    assert out[(2, 0)]["cohort_size"] == 1 and out[(2, 2)]["n_active"] == 1
+    assert (2, 1) not in out  # no activity at offset 1 for cohort 2
